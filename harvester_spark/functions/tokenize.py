@@ -1,0 +1,70 @@
+"""Tokenization — the analyzer role Solr plays for the reference.
+
+The reference's only text normalization for search is Solr's analyzer plus
+the alphanumeric-space regex it uses for sort keys
+(harvester/solr_updater.py:30 ``RE_ALPHANUMSPACE``). Our canonical tokenizer
+is deliberately simple and *exactly* expressible in three engines so every
+layer can be cross-checked:
+
+- Spark built-ins (JVM, whole-stage codegen):  ``tokens_expr``
+- DuckDB SQL (driver oracle):                  ``TOKENIZE_SQL``
+- pandas/numpy (vectorized UDF + numpy oracle): ``tokenize_pandas``
+
+Definition: lowercase, split on runs of ``[^a-z0-9_]``, drop empty tokens.
+``_`` kept so code identifiers like ``do_thing`` stay whole.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^a-z0-9_]+"
+
+# DuckDB-side equivalent (format with the source column name):
+TOKENIZE_SQL = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), t -> t <> '')"
+)
+
+
+def tokens_expr(col: str | Column) -> Column:
+    """array<string> of tokens — pure built-ins, stays in codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def doc_len_expr(col: str | Column) -> Column:
+    """Token count per document (BM25 ``dl``) — built-ins only."""
+    return F.size(tokens_expr(col))
+
+
+def tokenize_pandas(content: pd.Series) -> pd.Series:
+    """Vectorized pandas tokenizer: Series[str] -> Series[list[str]].
+
+    Same definition as :func:`tokens_expr`; used inside Arrow-batched UDFs
+    and by the numpy oracle. All work happens in pandas' C string kernels.
+    """
+    toks = content.fillna("").str.lower().str.split(TOKEN_SPLIT_RE, regex=True)
+    # drop empty strings produced by leading/trailing separators
+    return toks.map(lambda ts: [t for t in ts if t])
+
+
+def term_frequencies_pandas(content: pd.Series) -> pd.DataFrame:
+    """Per-document term frequencies, computed batch-at-a-time.
+
+    Input: Series of document text indexed 0..n-1.
+    Output: DataFrame (_pos, term, tf) — one row per distinct term per doc.
+    The groupby/size runs in pandas C code; no per-row Python in the hot
+    path beyond the list comprehension in the splitter.
+    """
+    toks = content.fillna("").str.lower().str.split(TOKEN_SPLIT_RE, regex=True)
+    ex = toks.explode()
+    ex = ex[(ex.notna()) & (ex != "")]
+    if ex.empty:
+        return pd.DataFrame({"_pos": pd.Series(dtype="int64"),
+                             "term": pd.Series(dtype="object"),
+                             "tf": pd.Series(dtype="int64")})
+    tf = ex.groupby([ex.index, ex]).size()
+    tf.index.names = ["_pos", "term"]
+    return tf.rename("tf").reset_index()

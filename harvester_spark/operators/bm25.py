@@ -1,0 +1,210 @@
+"""BM25 top-k retrieval — the query half the reference delegates to Solr.
+
+The reference issues ranked/cursored Solr queries (harvester/fetcher/
+solr_fetcher.py:38-60, harvester/solr_updater.py:916) and delete-by-query
+(solr_updater.py:793-817). This module re-implements the ranked-retrieval
+role natively:
+
+- :func:`query_topk_dataframe` — index-free scorer from pure DataFrame
+  built-ins (tokenize → filter-to-query-terms → tf/df aggregates → score →
+  TakeOrderedAndProject). 100% SQL-expressible, used as the driver-oracle
+  path and for ad-hoc queries without a prebuilt index.
+- :func:`query_topk_index` — the scale path: dictionary lookup → parquet
+  predicate pushdown on ``term`` → block-max upper-bound pruning (safe:
+  provably never drops a true top-k doc) → vectorized block decode →
+  per-doc accumulation → global top-k.
+
+Scoring (fixed, matches the numpy oracle bit-for-bit in float64):
+  idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))          [Lucene-style]
+  s(d, q) = Σ_{t ∈ unique(q)} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+  ties    → doc_id asc (the reference's deterministic cursor order,
+            solr_fetcher.py:41 ``sort=id asc``)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+from harvester_spark import tables
+from harvester_spark.functions.tokenize import (doc_len_expr, tokenize_pandas,
+                                                tokens_expr)
+
+SCORE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("score", DoubleType()),
+])
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Unique query terms, order-preserving (same analyzer as documents)."""
+    toks = tokenize_pandas(pd.Series([query])).iloc[0]
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(t)
+    return list(seen)
+
+
+# --------------------------------------------------------------------------
+# Path A: index-free, pure built-ins (SQL-expressible / oracle-checkable)
+# --------------------------------------------------------------------------
+
+def query_topk_dataframe(docs: DataFrame, query: str, k: int, *,
+                         id_col: str = "doc_id", content_col: str = "content",
+                         mode: str = "or", k1: float = 1.2,
+                         b: float = 0.75) -> DataFrame:
+    """Top-k BM25 over a raw documents DataFrame, no prebuilt index.
+
+    Whole plan is Catalyst-visible: the term filter lands right above the
+    scan, the tf/df aggregations get map-side partial agg, the final top-k
+    plans as TakeOrderedAndProject. Returns (doc_id, score).
+    """
+    terms = tokenize_query(query)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(content_col).alias("content"))
+    # global stats — over ALL docs, including ones matching no query term
+    stats = src.agg(F.count("*").alias("N"),
+                    F.avg(doc_len_expr("content")).alias("avgdl"))
+
+    tok = (src.select("doc_id",
+                      doc_len_expr("content").alias("dl"),
+                      F.explode(tokens_expr("content")).alias("term"))
+           .filter(F.col("term").isin(terms)))
+    tf = tok.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf", F.log(F.lit(1.0)
+                                       + (F.col("N") - F.col("df") + 0.5)
+                                       / (F.col("df") + 0.5)))
+              .withColumn("part", F.col("idf") * F.col("tf") * (k1 + 1.0)
+                          / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                                 / F.col("avgdl")))))
+    agg = scored.groupBy("doc_id").agg(F.sum("part").alias("score"),
+                                       F.count("*").alias("nt"))
+    if mode == "and":
+        agg = agg.filter(F.col("nt") == len(terms))
+    return (agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+# --------------------------------------------------------------------------
+# Path B: prebuilt compressed index + block-max pruning
+# --------------------------------------------------------------------------
+
+def _decode_block_rows(pdf: pd.DataFrame, idf_by_term: dict[str, float],
+                       k1: float, b: float, avgdl: float) -> pd.DataFrame:
+    """Decode a batch of posting-block rows → (doc_id, score_part) rows."""
+    from harvester_spark.operators.codec import decode_doc_ids, varint_decode
+
+    ids_out: list[np.ndarray] = []
+    parts_out: list[np.ndarray] = []
+    for row in pdf.itertuples(index=False):
+        n = int(row.doc_count)
+        ids = decode_doc_ids(int(row.doc_id_first), bytes(row.deltas), n)
+        tf = varint_decode(bytes(row.tfs)).astype(np.float64)
+        dl = varint_decode(bytes(row.dls)).astype(np.float64)
+        idf = idf_by_term[row.term]
+        # parenthesized identically to the encoder's tfnorm so that
+        # part <= idf * block_max_tfnorm holds bit-exactly
+        tfnorm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        part = idf * tfnorm
+        ids_out.append(ids)
+        parts_out.append(part)
+    if not ids_out:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.DataFrame({"doc_id": np.concatenate(ids_out),
+                         "score": np.concatenate(parts_out)})
+
+
+def query_topk_index(spark: SparkSession, index_dir: str | Path, query: str,
+                     k: int, *, mode: str = "or",
+                     prune: bool = True) -> DataFrame:
+    """Top-k BM25 over the prebuilt index with block-max pruning.
+
+    Safety of the pruning (rank-identity guaranteed): θ is the k-th best
+    *partial* score from the highest-upper-bound blocks — a lower bound on
+    the true k-th best score. A block is pruned only when
+    ``UB(block) + Σ_{other terms} maxUB < θ``; any document with a posting
+    in that block has true score < θ, so it cannot be in the true top-k,
+    and (contrapositive) no true top-k document ever loses a block, so
+    surviving scores are exact. Pruning is disabled in AND mode where the
+    bound argument does not transfer (conjunctive WAND is a later
+    refinement).
+    """
+    index_dir = Path(index_dir)
+    terms = tokenize_query(query)
+    meta = tables.read_meta(index_dir / "postings")
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+
+    if not terms:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+
+    dic = (tables.read_table(spark, index_dir / "dictionary")
+           .filter(F.col("term").isin(terms))
+           .select("term", "df", "idf").collect())
+    idf_by_term = {r["term"]: float(r["idf"]) for r in dic}
+    present = [t for t in terms if t in idf_by_term]
+    if not present or (mode == "and" and len(present) < len(terms)):
+        return spark.createDataFrame([], SCORE_SCHEMA)
+
+    postings = (tables.read_table(spark, index_dir / "postings")
+                .filter(F.col("term").isin(present)))  # pushed to parquet scan
+
+    idf_map = F.create_map(*[x for t in present
+                             for x in (F.lit(t), F.lit(idf_by_term[t]))])
+    blocks = postings.withColumn("ub", idf_map[F.col("term")]
+                                 * F.col("block_max_tfnorm"))
+
+    if prune and mode == "or":
+        # per-term max UB (tiny: one row per query term)
+        per_term = {r["term"]: r["mx"] for r in
+                    blocks.groupBy("term").agg(F.max("ub").alias("mx")).collect()}
+        total_ub = sum(per_term.values())
+        # θ: k-th best partial score from the top-UB blocks (driver decode
+        # of a handful of rows)
+        seed_n = max(8, (4 * k) // max(meta.get("block_size", 128), 1) + 2)
+        seed = blocks.orderBy(F.desc("ub")).limit(seed_n).toPandas()
+        seed_scores = (_decode_block_rows(seed, idf_by_term, k1, b, avgdl)
+                       .groupby("doc_id")["score"].sum().to_numpy())
+        if seed_scores.size >= k:
+            theta = float(np.partition(seed_scores, -k)[-k])
+            other_ub = F.create_map(*[x for t in present for x in
+                                      (F.lit(t), F.lit(total_ub - per_term[t]))])
+            # epsilon slack guards the ub-vs-decoded-score float comparison
+            blocks = blocks.filter(F.col("ub") + other_ub[F.col("term")]
+                                   >= F.lit(theta) * (1.0 - 1e-12) - 1e-300)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _decode_block_rows(pdf, idf_by_term, k1, b, avgdl)
+
+    contrib = blocks.select("term", "doc_id_first", "doc_count", "deltas",
+                            "tfs", "dls").mapInPandas(decode, SCORE_SCHEMA)
+    agg = contrib.groupBy("doc_id").agg(F.sum("score").alias("score"),
+                                        F.count("*").alias("nt"))
+    if mode == "and":
+        agg = agg.filter(F.col("nt") == len(present))
+    return (agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+def lookup_doc(spark: SparkSession, docs: DataFrame, doc_id: int) -> DataFrame:
+    """Exact-match doc lookup (the reference's ``db.get(id)`` / Solr id query,
+    harvester/solr_updater.py:929)."""
+    return docs.filter(F.col("doc_id") == doc_id)

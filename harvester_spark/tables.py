@@ -1,0 +1,59 @@
+"""Table storage with atomic-commit semantics.
+
+Production target is Iceberg (atomic snapshot commits, row-level deletes,
+incremental scans — the capabilities the reference gets from Solr commits at
+harvester/solr_updater.py:864,955 and CouchDB revisions). This sandbox has no
+Iceberg runtime jar, so locally we use plain parquet directories with a
+write-to-temp + atomic-rename commit protocol and a ``_STAGE_SUCCESS`` marker
+— the same contract an Iceberg snapshot commit gives us, at directory
+granularity. Swapping ``format("parquet")`` for ``format("iceberg")`` +
+``MERGE INTO`` is the only change needed on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUCCESS_MARKER = "_STAGE_SUCCESS"
+
+
+def is_committed(path: str | Path) -> bool:
+    return (Path(path) / SUCCESS_MARKER).exists()
+
+
+def write_table(df: DataFrame, path: str | Path, *, sort_cols: list[str] | None = None,
+                meta: dict | None = None) -> None:
+    """Atomically materialize ``df`` as a parquet table at ``path``.
+
+    Writes to ``<path>.__tmp__`` then renames — a crash mid-write never
+    leaves a half-table behind the success marker, which is what makes the
+    stage runner resumable (north_rule: resume from checkpoint).
+    ``sort_cols`` sorts within partitions so parquet row-group min/max stats
+    make downstream predicate pushdown (e.g. ``term = 'x'``) effective.
+    """
+    path = Path(path)
+    tmp = Path(str(path) + ".__tmp__")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(str(tmp))
+    if path.exists():
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    if meta is not None:
+        (path / "_table_meta.json").write_text(json.dumps(meta, indent=2))
+    (path / SUCCESS_MARKER).touch()
+
+
+def read_table(spark: SparkSession, path: str | Path) -> DataFrame:
+    return spark.read.parquet(str(path))
+
+
+def read_meta(path: str | Path) -> dict:
+    return json.loads((Path(path) / "_table_meta.json").read_text())

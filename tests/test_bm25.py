@@ -1,0 +1,72 @@
+"""Rank-identity: both Spark scorer paths vs the exhaustive numpy oracle
+across the full reference query set (FIXTURES.md §2)."""
+
+import numpy as np
+import pytest
+
+from harvester_spark.fixtures.corpus import QUERY_SET
+from harvester_spark.fixtures.oracle import OracleBM25
+from harvester_spark.operators.bm25 import (query_topk_dataframe,
+                                            query_topk_index, tokenize_query)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    local = corpus_df.select("doc_id", "content").toPandas()
+    return OracleBM25(local, content_col="content")
+
+
+def assert_rank_identical(got, want, label=""):
+    assert list(got["doc_id"]) == list(want["doc_id"]), label
+    if len(want):
+        np.testing.assert_allclose(got["score"].to_numpy(),
+                                   want["score"].to_numpy(),
+                                   rtol=1e-6, err_msg=label)
+
+
+@pytest.mark.parametrize("query,k", QUERY_SET)
+def test_dataframe_scorer_rank_identity(corpus_df, oracle, query, k):
+    got = query_topk_dataframe(corpus_df, query, k).toPandas()
+    want = oracle.topk(tokenize_query(query), k)
+    assert_rank_identical(got, want, f"df-scorer {query!r}")
+
+
+@pytest.mark.parametrize("query,k", QUERY_SET)
+def test_index_scorer_rank_identity(spark, index_dir, oracle, query, k):
+    got = query_topk_index(spark, index_dir, query, k).toPandas()
+    want = oracle.topk(tokenize_query(query), k)
+    assert_rank_identical(got, want, f"index-scorer {query!r}")
+
+
+@pytest.mark.parametrize("query,k", QUERY_SET)
+def test_index_scorer_pruning_equals_exhaustive(spark, index_dir, query, k):
+    pruned = query_topk_index(spark, index_dir, query, k, prune=True).toPandas()
+    full = query_topk_index(spark, index_dir, query, k, prune=False).toPandas()
+    assert list(pruned["doc_id"]) == list(full["doc_id"])
+    np.testing.assert_allclose(pruned["score"], full["score"], rtol=0)
+
+
+def test_and_mode(spark, corpus_df, index_dir, oracle):
+    q, k = "import ident_3", 10
+    want = oracle.topk(tokenize_query(q), k, mode="and")
+    got_df = query_topk_dataframe(corpus_df, q, k, mode="and").toPandas()
+    got_ix = query_topk_index(spark, index_dir, q, k, mode="and").toPandas()
+    assert_rank_identical(got_df, want, "and df")
+    assert_rank_identical(got_ix, want, "and index")
+
+
+def test_and_mode_absent_term_empty(spark, corpus_df, index_dir):
+    q = "import zzz_absent_term"
+    assert query_topk_dataframe(corpus_df, q, 5, mode="and").count() == 0
+    assert query_topk_index(spark, index_dir, q, 5, mode="and").count() == 0
+
+
+def test_tie_break_doc_id_asc(oracle):
+    # duplicate docs exist in synthetic corpora rarely; enforce the rule on
+    # the oracle itself: equal scores must be ordered by doc_id
+    res = oracle.topk(["import"], 100)
+    s = res["score"].to_numpy()
+    d = res["doc_id"].to_numpy()
+    for i in range(len(res) - 1):
+        if s[i] == s[i + 1]:
+            assert d[i] < d[i + 1]

@@ -1,0 +1,39 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from harvester_spark.operators.codec import (decode_doc_ids, encode_doc_ids,
+                                             varint_decode, varint_encode,
+                                             varint_sizes)
+
+
+def test_varint_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 300, 2**20, 2**35, 2**63 - 1], dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_sizes_match_stream():
+    vals = np.array([0, 127, 128, 16383, 16384], dtype=np.uint64)
+    assert varint_sizes(vals).sum() == len(varint_encode(vals))
+    assert list(varint_sizes(vals)) == [1, 1, 2, 2, 3]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+def test_varint_roundtrip_property(xs):
+    vals = np.array(xs, dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals)) == vals).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=300))
+def test_docid_delta_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    first, gaps = encode_doc_ids(arr)
+    out = decode_doc_ids(first, gaps, len(arr))
+    assert (out == arr).all()

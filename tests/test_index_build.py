@@ -1,0 +1,143 @@
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from harvester_spark import tables
+from harvester_spark.fixtures.oracle import OracleBM25
+from harvester_spark.functions.tokenize import tokenize_pandas
+from harvester_spark.operators.codec import decode_doc_ids, varint_decode
+
+
+def _corpus_with_ids(corpus_df):
+    return (corpus_df.select("doc_id", "content").toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_doc_ids_dense_and_ordered(corpus_df, corpus_pdf):
+    pdf = corpus_df.select("doc_id", "repo", "path", "commit").toPandas()
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    assert (pdf["doc_id"].to_numpy() == np.arange(len(pdf))).all()
+    assert len(pdf) == len(corpus_pdf)
+
+
+def test_content_sha256(corpus_df):
+    import hashlib
+    pdf = corpus_df.select("content", "content_sha256").limit(20).toPandas()
+    for c, h in zip(pdf["content"], pdf["content_sha256"]):
+        assert hashlib.sha256(c.encode()).hexdigest() == h
+
+
+def test_stats_match_oracle(spark, index_dir, corpus_df):
+    local = _corpus_with_ids(corpus_df)
+    oracle = OracleBM25(local, content_col="content")
+    meta = tables.read_meta(index_dir / "stats")
+    assert meta["N"] == oracle.N
+    assert abs(meta["avgdl"] - oracle.avgdl) < 1e-9
+
+
+def test_dictionary_matches_oracle(spark, index_dir, corpus_df):
+    local = _corpus_with_ids(corpus_df)
+    oracle = OracleBM25(local, content_col="content")
+    dic = tables.read_table(spark, index_dir / "dictionary").toPandas()
+    assert len(dic) == len(oracle.postings)
+    for r in dic.sample(min(100, len(dic)), random_state=0).itertuples():
+        pos, tf = oracle.postings[r.term]
+        assert r.df == len(pos), r.term
+        assert r.cf == tf.sum(), r.term
+        assert abs(r.idf - oracle.idf(r.term)) < 1e-12
+
+
+def test_postings_decode_to_exact_tf(spark, index_dir, corpus_df):
+    """Decode every block and compare (doc_id, tf, dl) with a recomputation."""
+    local = _corpus_with_ids(corpus_df)
+    toks = tokenize_pandas(local["content"])
+    dl_by_doc = dict(zip(local["doc_id"], toks.map(len)))
+    ex = toks.explode().dropna()
+    doc_of_pos = local["doc_id"].to_numpy()
+    truth = {}
+    tf = ex.groupby([ex.index, ex]).size()
+    for (pos, term), cnt in tf.items():
+        truth.setdefault(term, {})[int(doc_of_pos[pos])] = int(cnt)
+
+    post = tables.read_table(spark, index_dir / "postings").toPandas()
+    got: dict[str, dict[int, int]] = {}
+    for r in post.itertuples():
+        ids = decode_doc_ids(r.doc_id_first, bytes(r.deltas), r.doc_count)
+        tfs = varint_decode(bytes(r.tfs))
+        dls = varint_decode(bytes(r.dls))
+        assert ids[-1] == r.doc_id_last
+        assert tfs.max(initial=0) == r.max_tf
+        # sorted unique within block
+        assert (np.diff(ids) > 0).all()
+        for d, t, l in zip(ids, tfs, dls):
+            got.setdefault(r.term, {})[int(d)] = int(t)
+            assert dl_by_doc[int(d)] == int(l)
+    assert got == truth
+
+
+def test_salting_applied_and_disjoint(spark, index_dir):
+    """Hot terms must be salted; salted ranges must not overlap."""
+    post = tables.read_table(spark, index_dir / "postings").toPandas()
+    hot = post[post["term"] == "import"]
+    assert hot["salt"].nunique() > 1, "expected 'import' to be salted"
+    # doc ranges of different salts are disjoint and ordered
+    spans = (hot.groupby("salt")
+             .agg(lo=("doc_id_first", "min"), hi=("doc_id_last", "max"))
+             .sort_index())
+    assert (spans["lo"].to_numpy()[1:] > spans["hi"].to_numpy()[:-1]).all()
+
+
+def test_block_max_invariant(spark, index_dir):
+    """block_max_tfnorm >= every member's tfnorm (recomputed)."""
+    meta = tables.read_meta(index_dir / "postings")
+    k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    post = tables.read_table(spark, index_dir / "postings").toPandas()
+    for r in post.sample(min(200, len(post)), random_state=1).itertuples():
+        tfs = varint_decode(bytes(r.tfs)).astype(float)
+        dls = varint_decode(bytes(r.dls)).astype(float)
+        tfn = tfs * (k1 + 1) / (tfs + k1 * (1 - b + b * dls / avgdl))
+        assert r.block_max_tfnorm >= tfn.max() - 1e-12
+        assert abs(r.block_max_tfnorm - tfn.max()) < 1e-9
+
+
+def test_build_is_resumable(spark, corpus_df, tmp_path):
+    """Kill-and-restart: stages already committed are skipped; output equal."""
+    from harvester_spark.operators.index_build import IndexConfig, build_index
+    cfg = IndexConfig(salt_df_threshold=50, salt_range_docs=100, block_size=32)
+    d = tmp_path / "idx"
+    r1 = build_index(spark, corpus_df, d, cfg=cfg)
+    assert not any(s.get("skipped") for s in r1.stages)
+    # simulate a crash after S4: remove postings + lineage commits
+    import shutil
+    shutil.rmtree(d / "postings")
+    shutil.rmtree(d / "lineage")
+    r2 = build_index(spark, corpus_df, d, cfg=cfg)
+    skipped = {s["stage"] for s in r2.stages if s.get("skipped")}
+    assert skipped == {"doc_terms", "doc_stats", "stats", "dictionary"}
+    lin = tables.read_table(spark, d / "lineage").toPandas()
+    assert lin["postings"].sum() > 0
+    assert (lin["status"] == "complete").all()
+
+
+def test_salted_equals_unsalted(spark, corpus_df, tmp_path):
+    """Byte-level invariant: postings content identical with/without salting
+    after normalizing block boundaries (decode-and-compare)."""
+    from harvester_spark.operators.index_build import IndexConfig, build_index
+    d1, d2 = tmp_path / "salted", tmp_path / "unsalted"
+    build_index(spark, corpus_df, d1,
+                cfg=IndexConfig(salt_df_threshold=50, salt_range_docs=64,
+                                block_size=32))
+    build_index(spark, corpus_df, d2,
+                cfg=IndexConfig(salt_df_threshold=10**9, block_size=32))
+
+    def decoded(d):
+        post = tables.read_table(spark, d / "postings").toPandas()
+        out = {}
+        for r in post.itertuples():
+            ids = decode_doc_ids(r.doc_id_first, bytes(r.deltas), r.doc_count)
+            tfs = varint_decode(bytes(r.tfs))
+            for i, t in zip(ids, tfs):
+                out.setdefault(r.term, {})[int(i)] = int(t)
+        return out
+
+    assert decoded(d1) == decoded(d2)

@@ -1,0 +1,56 @@
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from harvester_spark.functions.tokenize import (TOKENIZE_SQL, doc_len_expr,
+                                                term_frequencies_pandas,
+                                                tokenize_pandas, tokens_expr)
+
+SAMPLES = [
+    "import numpy as np",
+    "  Def Foo_Bar(x):  return x+1 ",
+    "",
+    "a;b,c.d//e",
+    "UPPER lower 123 _under __dunder__",
+    "tab\tnewline\nmix",
+]
+
+
+def test_pandas_tokenizer_golden():
+    out = tokenize_pandas(pd.Series(SAMPLES))
+    assert out.iloc[0] == ["import", "numpy", "as", "np"]
+    assert out.iloc[1] == ["def", "foo_bar", "x", "return", "x", "1"]
+    assert out.iloc[2] == []
+    assert out.iloc[3] == ["a", "b", "c", "d", "e"]
+    assert out.iloc[4] == ["upper", "lower", "123", "_under", "__dunder__"]
+
+
+def test_spark_matches_pandas(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)],
+                               "i int, content string")
+    got = {r["i"]: r["toks"] for r in
+           df.select("i", tokens_expr("content").alias("toks")).collect()}
+    want = tokenize_pandas(pd.Series(SAMPLES))
+    for i in range(len(SAMPLES)):
+        assert got[i] == want.iloc[i], SAMPLES[i]
+
+
+def test_duckdb_matches_pandas():
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(SAMPLES)), "content": SAMPLES}))
+    expr = TOKENIZE_SQL.format(col="content")
+    rows = con.sql(f"select i, {expr} as toks from t order by i").fetchall()
+    want = tokenize_pandas(pd.Series(SAMPLES))
+    for i, toks in rows:
+        assert toks == want.iloc[i], SAMPLES[i]
+
+
+def test_term_frequencies():
+    tf = term_frequencies_pandas(pd.Series(["a b a c a", "b b", ""]))
+    d = {(p, t): int(c) for p, t, c in zip(tf["_pos"], tf["term"], tf["tf"])}
+    assert d == {(0, "a"): 3, (0, "b"): 1, (0, "c"): 1, (1, "b"): 2}
+
+
+def test_doc_len_expr(spark):
+    df = spark.createDataFrame([("a b  c",), ("",)], "content string")
+    assert [r[0] for r in df.select(doc_len_expr("content")).collect()] == [3, 0]
