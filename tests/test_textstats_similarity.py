@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_spark.operators.similarity import (cosine_topk,
+                                                  embedding_near_dup_pairs,
+                                                  lsh_cosine_topk)
+from harvester_spark.operators.textstats import (fingerprint, langid,
+                                                 quality_features)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_quality_features(docs):
+    q = quality_features(docs, content_col="text").toPandas()
+    assert len(q) == docs.count()
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1.0001)).all()
+    assert ((q["alpha_ratio"] >= 0) & (q["alpha_ratio"] <= 1)).all()
+    assert (q["n_tokens"] > 0).all()
+
+
+def test_langid_deterministic(docs, spark):
+    out = langid(docs, content_col="text")
+    a = out.orderBy("doc_id").limit(50).collect()
+    b = langid(docs, content_col="text").orderBy("doc_id").limit(50).collect()
+    assert a == b
+    assert set(r["lang_pred"] for r in a) <= {"en", "fr", "es", "de", "zh", "und"}
+
+
+def test_fingerprint_stable_and_order_invariant(spark):
+    d1 = spark.createDataFrame([(0, "b a c"), (1, "c  b, a!")],
+                               "doc_id long, text string")
+    fp = fingerprint(d1, content_col="text").collect()
+    by = {r["doc_id"]: r for r in fp}
+    # same bag of words → same fingerprints
+    assert by[0]["content_md5"] == by[1]["content_md5"]
+    assert by[0]["min_token_md5"] == by[1]["min_token_md5"]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.toPandas()
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = M[ids == 0][0]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))
+    want = ids[order[:10]].tolist()
+    got = [r["vec_id"] for r in cosine_topk(emb, q.tolist(), 10).collect()]
+    assert got == want
+
+
+def test_lsh_cosine_recall(spark, emb):
+    """LSH ANN must recover planted high-cosine neighbors (its actual use
+    case — near-duplicate detection), not arbitrary random-data neighbors."""
+    pdf = emb.toPandas()
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = M[ids == 3][0]
+    rng = np.random.default_rng(7)
+    planted = [(int(20_000 + i),
+                (q + 0.02 * rng.standard_normal(len(q))).astype(float).tolist(),
+                0) for i in range(5)]
+    aug = emb.unionByName(spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int"))
+    got = {r["vec_id"] for r in lsh_cosine_topk(aug, q.tolist(), 6).collect()}
+    assert 3 in got
+    assert len(got & {20_000 + i for i in range(5)}) >= 4
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant two exact-duplicate vectors
+    two = emb.limit(2).toPandas()
+    dup = spark.createDataFrame(
+        [(10_000 + int(r.vec_id), [float(x) for x in r.embedding], int(r.label))
+         for r in two.itertuples()],
+        "vec_id long, embedding array<float>, label int")
+    all_emb = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(all_emb, threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in two.itertuples():
+        assert (int(r.vec_id), 10_000 + int(r.vec_id)) in got
