@@ -1,38 +1,627 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark implementation (harvester_spark operators) with an
+independently-written DuckDB oracle over the same parquet tables. Float
+outputs are exported as ``*_x10k`` bigints (round(value*10000)) and top-k
+selections order on the rounded value + id so both engines pick identical
+row sets. Entries without an ``oracle_sql`` (MinHash/SimHash/LSH/WAND) are
+approximation or hash-scheme paths verified instead by pytest against
+in-repo exhaustive oracles (tests/test_dedup.py, tests/test_bm25.py).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvester_spark.functions.text import (ark_extract, facet_decade,
+                                            fix_repeated_year, make_date,
+                                            sort_title)
+from harvester_spark.functions.tokenize import doc_len_expr, tokens_expr
+from harvester_spark.operators.bm25 import (bm25_scores, query_topk_index,
+                                            tokenize_query)
+from harvester_spark.operators.dedup import (minhash_lsh_pairs, shingles_expr,
+                                             simhash_near_pairs)
+from harvester_spark.operators.index_build import IndexConfig, build_index
+from harvester_spark.operators.similarity import (cosine_topk, lsh_cosine_topk)
+from harvester_spark.operators.textstats import (LANG_STOPWORDS, fingerprint,
+                                                 langid, quality_features)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+TOKS = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9_]+'), t -> t <> '')"
+DOC_TOKS = TOKS.format(c="text")
+
+X10K = "CAST(round(({v}) * 10000) AS BIGINT)"
+
+
+def _x10k(col: F.Column) -> F.Column:
+    return F.round(col * 10000).cast("long")
+
+
+def _bm25_sql(terms: list[str], k: int, mode: str = "or") -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    and_filter = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({DOC_TOKS}) AS dl FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id, unnest({DOC_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(part) AS score, count(*) AS nt FROM scored GROUP BY doc_id)
+SELECT doc_id, {X10K.format(v='score')} AS score_x10k
+FROM agg {and_filter}
+ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _bm25_entry(query: str, k: int, mode: str = "or"):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        scores = bm25_scores(_docs(spark, sf_dir), query,
+                             content_col="text", mode=mode)
+        return (scores.select("doc_id", _x10k(F.col("score")).alias("score_x10k"))
+                .orderBy(F.desc("score_x10k"), F.asc("doc_id")).limit(k))
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a 3-term query over sf0.001 documents."""
+    return _bm25_entry("query data join", 10)(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- index-build statistics (SURVEY §2.5 df/cf/N/avgdl) ----
+    def corpus_stats(spark, sf):
+        return _docs(spark, sf).agg(
+            F.count("*").alias("n_docs"),
+            _x10k(F.avg(doc_len_expr("text"))).alias("avgdl_x10k"))
+    q["corpus_stats"] = corpus_stats
+
+    def doc_lengths(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", doc_len_expr("text").alias("dl"))
+    q["doc_lengths"] = doc_lengths
+
+    def term_stats(spark, sf):
+        toks = _docs(spark, sf).select(
+            "doc_id", F.explode(tokens_expr("text")).alias("term"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        return (tf.groupBy("term")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                .orderBy(F.desc("df"), F.asc("term")).limit(100))
+    q["term_stats"] = term_stats
+
+    # ---- BM25 ranked retrieval (the Solr-query replacement) ----
+    q["bm25_topk_common"] = _bm25_entry("batch", 10)
+    q["bm25_topk_rare"] = _bm25_entry("dup", 10)
+    q["bm25_topk_multi"] = _bm25_entry("query data join", 10)
+    q["bm25_topk_and"] = _bm25_entry("table scan", 10, mode="and")
+
+    def bm25_index_topk(spark, sf):
+        # full physical path: build compressed index → decode → score
+        docs = _docs(spark, sf)
+        d = tempfile.mkdtemp(prefix="hs_idx_") + "/idx"
+        build_index(spark, docs, d, content_col="text",
+                    cfg=IndexConfig(salt_df_threshold=200, salt_range_docs=256))
+        scores = query_topk_index(spark, d, "query data join",
+                                  k=10_000_000, prune=False)
+        return (scores.select("doc_id", _x10k(F.col("score")).alias("score_x10k"))
+                .orderBy(F.desc("score_x10k"), F.asc("doc_id")).limit(10))
+    q["bm25_index_topk"] = bm25_index_topk
+
+    def bm25_wand_topk(spark, sf):
+        # pruned WAND path (rows-only driver check; pytest proves
+        # pruned == exhaustive rank-identically)
+        docs = _docs(spark, sf)
+        d = tempfile.mkdtemp(prefix="hs_wand_") + "/idx"
+        build_index(spark, docs, d, content_col="text",
+                    cfg=IndexConfig(salt_df_threshold=200, salt_range_docs=256))
+        return query_topk_index(spark, d, "query data join", 10, prune=True)
+    q["bm25_wand_topk"] = bm25_wand_topk
+
+    # ---- exact lookup + delete-by-query (solr_updater.py:793-817,929) ----
+    def doc_lookup(spark, sf):
+        return (_docs(spark, sf).filter(F.col("doc_id") == 42)
+                .select("doc_id", "lang", "source", "n_chars"))
+    q["doc_lookup"] = doc_lookup
+
+    def delete_by_query(spark, sf):
+        docs = _docs(spark, sf)
+        hits = (docs.select("doc_id",
+                            F.explode(tokens_expr("text")).alias("t"))
+                .filter(F.col("t") == "slow").select("doc_id").distinct())
+        kept = docs.join(hits, "doc_id", "left_anti")
+        return kept.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+    q["delete_by_query"] = delete_by_query
+
+    # ---- dedup family ----
+    def exact_dup_stats(spark, sf):
+        docs = _docs(spark, sf)
+        return docs.agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_unique"))
+    q["exact_dup_stats"] = exact_dup_stats
+
+    def fingerprints(spark, sf):
+        return (fingerprint(_docs(spark, sf).filter(F.col("doc_id") < 50),
+                            content_col="text")
+                .orderBy("doc_id"))
+    q["fingerprints"] = fingerprints
+
+    def ngram_jaccard_probe(spark, sf):
+        docs = _docs(spark, sf)
+        probe = docs.filter(F.col("doc_id") == 0) \
+                    .select(shingles_expr("text", 3).alias("shs_b"))
+        rest = docs.filter((F.col("doc_id") > 0) & (F.col("doc_id") < 200)) \
+                   .select("doc_id", shingles_expr("text", 3).alias("shs_a"))
+        return (rest.crossJoin(F.broadcast(probe))
+                .select("doc_id", _x10k(
+                    F.size(F.array_intersect("shs_a", "shs_b"))
+                    / F.size(F.array_union("shs_a", "shs_b")))
+                    .alias("jaccard_x10k")))
+    q["ngram_jaccard_probe"] = ngram_jaccard_probe
+
+    def minhash_pairs(spark, sf):  # rows-only (hash-scheme specific)
+        return minhash_lsh_pairs(_docs(spark, sf), content_col="text",
+                                 jaccard_threshold=0.7).select("doc_a", "doc_b")
+    q["minhash_pairs"] = minhash_pairs
+
+    def simhash_pairs(spark, sf):  # rows-only
+        return simhash_near_pairs(_docs(spark, sf), content_col="text",
+                                  max_hamming=3)
+    q["simhash_pairs"] = simhash_pairs
+
+    # ---- text analysis ----
+    def quality_feature_ints(spark, sf):
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        toks = tokens_expr("text")
+        en = LANG_STOPWORDS["en"]
+        return docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.size(toks).alias("n_tokens"),
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).alias("n_alpha"),
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9_\s]", "")).alias("n_punct"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.size(F.filter(toks, lambda t: t.isin(en))).alias("n_stop"))
+    q["quality_feature_ints"] = quality_feature_ints
+
+    def quality_scores(spark, sf):
+        return (quality_features(_docs(spark, sf), content_col="text")
+                .select("doc_id", _x10k(F.col("quality_score")).alias("q_x10k")))
+    q["quality_scores"] = quality_scores
+
+    def langid_dist(spark, sf):
+        return (langid(_docs(spark, sf), content_col="text")
+                .groupBy("lang_pred").agg(F.count("*").alias("n"))
+                .orderBy("lang_pred"))
+    q["langid_dist"] = langid_dist
+
+    def token_counts(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", doc_len_expr("text").alias("n_tokens"),
+            F.size(F.array_distinct(tokens_expr("text"))).alias("n_distinct"))
+    q["token_counts"] = token_counts
+
+    def dedupe_tokens_first_wins(spark, sf):
+        # order-preserving in-list dedup (dedupe_sourceresource.py:4-17)
+        return (_docs(spark, sf).filter(F.col("doc_id") < 50)
+                .select("doc_id",
+                        F.concat_ws(" ", F.array_distinct(tokens_expr("text")))
+                        .alias("deduped")))
+    q["dedupe_tokens_first_wins"] = dedupe_tokens_first_wins
+
+    # ---- similarity search ----
+    def cosine_topk_q(spark, sf):
+        emb = _emb(spark, sf)
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        scores = cosine_topk(emb, qv, k=10_000_000)
+        return (scores.select("vec_id", _x10k(F.col("cosine")).alias("cos_x10k"))
+                .orderBy(F.desc("cos_x10k"), F.asc("vec_id")).limit(10))
+    q["cosine_topk"] = cosine_topk_q
+
+    def lsh_cosine_q(spark, sf):  # rows-only (ANN, recall < 1 by design)
+        emb = _emb(spark, sf)
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return lsh_cosine_topk(emb, qv, 10).select("vec_id")
+    q["lsh_cosine_topk"] = lsh_cosine_q
+
+    def embedding_norms(spark, sf):
+        v = F.col("embedding")
+        norm = F.sqrt(F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, b: a + b))
+        return (_emb(spark, sf).filter(F.col("vec_id") < 100)
+                .select("vec_id", _x10k(norm).alias("norm_x10k")))
+    q["embedding_norms"] = embedding_norms
+
+    # ---- harvester scalar-function parity (SURVEY §2.9) ----
+    def sort_titles(spark, sf):
+        return (_docs(spark, sf).filter(F.col("doc_id") < 100)
+                .select("doc_id", sort_title(F.col("text")).alias("sort_key")))
+    q["sort_titles"] = sort_titles
+
+    def facet_decades(spark, sf):
+        return (_events(spark, sf)
+                .select(facet_decade(F.year("ts")).alias("decade"))
+                .groupBy("decade").agg(F.count("*").alias("n"))
+                .orderBy("decade"))
+    q["facet_decades"] = facet_decades
+
+    def ark_extracts(spark, sf):
+        synth = F.concat(F.lit("id ark:/12345/"), F.col("source"),
+                         F.lit("|rest x"))
+        return (_docs(spark, sf).filter(F.col("doc_id") < 100)
+                .select("doc_id", ark_extract(synth).alias("ark")))
+    q["ark_extracts"] = ark_extracts
+
+    def props_extract(spark, sf):
+        return (_events(spark, sf)
+                .select(F.get_json_object("props", "$.k").cast("long")
+                        .alias("k_val"))
+                .groupBy("k_val").agg(F.count("*").alias("n"))
+                .orderBy("k_val"))
+    q["props_extract"] = props_extract
+
+    def make_dates(spark, sf):
+        raw = (F.when(F.col("event_id") % 3 == 0,
+                      F.concat(F.lit("19"), (F.col("event_id") % 90 + 10)
+                               .cast("string")))
+               .when(F.col("event_id") % 3 == 1, F.lit("2024-05-17"))
+               .otherwise(F.lit("not a date")))
+        return (_events(spark, sf).filter(F.col("event_id") < 300)
+                .select("event_id",
+                        F.coalesce(F.date_format(make_date(raw), "yyyy-MM-dd"),
+                                   F.lit("none")).alias("parsed")))
+    q["make_dates"] = make_dates
+
+    def fix_repeated_years(spark, sf):
+        y = (F.col("user_id") % 30 + 1980).cast("string")
+        raw = F.concat(y, F.lit("-"), y, F.lit(" and 2001-2002"))
+        return (_events(spark, sf).filter(F.col("event_id") < 300)
+                .select("event_id", fix_repeated_year(raw).alias("fixed")))
+    q["fix_repeated_years"] = fix_repeated_years
+
+    # ---- window / agg / pagination parity (SURVEY §2.5-2.7) ----
+    def first_event_per_user(spark, sf):
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (_events(spark, sf)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_id").orderBy("user_id"))
+    q["first_event_per_user"] = first_event_per_user
+
+    def events_histogram(spark, sf):
+        return (_events(spark, sf).groupBy("event_type")
+                .agg(F.count("*").alias("n")).orderBy("event_type"))
+    q["events_histogram"] = events_histogram
+
+    def events_hourly(spark, sf):
+        return (_events(spark, sf)
+                .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                       "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                         "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value") * 100).cast("long")
+                     .alias("sum_value_x100"))
+                .orderBy("hour", "event_type").limit(500))
+    q["events_hourly"] = events_hourly
+
+    def keyset_page(spark, sf):
+        # cursor-paginated scan (solr_fetcher.py:29-78 keyset pagination)
+        return (_docs(spark, sf).orderBy("doc_id")
+                .select("doc_id", "lang", "n_chars")
+                .offset(100).limit(50))
+    q["keyset_page"] = keyset_page
+
+    def top_customers(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        return (orders.join(F.broadcast(cust),
+                            orders["o_custkey"] == cust["c_custkey"])
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n_orders"),
+                     F.round(F.sum("o_totalprice") * 100).cast("long")
+                     .alias("total_x100"))
+                .orderBy("c_mktsegment"))
+    q["top_customers"] = top_customers
+
+    def pricing_summary(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum("l_quantity") * 100).cast("long")
+                     .alias("sum_qty_x100"),
+                     F.round(F.sum("l_extendedprice") * 100).cast("long")
+                     .alias("sum_price_x100"),
+                     F.count("*").alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+    q["pricing_summary"] = pricing_summary
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_QSCORE = (
+    "least(n_tokens / 100.0, 1.0) * 0.3 "
+    "+ (n_alpha / greatest(n_chars, 1)) * 0.3 "
+    "+ (1.0 - least((n_punct / greatest(n_chars, 1)) * 4.0, 1.0)) * 0.2 "
+    "+ (n_distinct / greatest(n_tokens, 1)) * 0.2")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["corpus_stats"] = f"""
+SELECT count(*) AS n_docs,
+       {X10K.format(v=f'avg(len({DOC_TOKS}))')} AS avgdl_x10k
+FROM documents
+"""
+
+    o["doc_lengths"] = f"SELECT doc_id, len({DOC_TOKS}) AS dl FROM documents"
+
+    o["term_stats"] = f"""
+WITH toks AS (SELECT doc_id, unnest({DOC_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+    o["bm25_topk_common"] = _bm25_sql(["batch"], 10)
+    o["bm25_topk_rare"] = _bm25_sql(["dup"], 10)
+    o["bm25_topk_multi"] = _bm25_sql(["query", "data", "join"], 10)
+    o["bm25_topk_and"] = _bm25_sql(["table", "scan"], 10, mode="and")
+    o["bm25_index_topk"] = _bm25_sql(["query", "data", "join"], 10)
+    # bm25_wand_topk: rows-only (pruned ANN-style path; pytest-verified)
+
+    o["doc_lookup"] = ("SELECT doc_id, lang, source, n_chars FROM documents "
+                       "WHERE doc_id = 42")
+
+    o["delete_by_query"] = f"""
+WITH hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({DOC_TOKS}) AS t FROM documents) WHERE t = 'slow')
+SELECT lang, count(*) AS n FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+GROUP BY lang ORDER BY lang
+"""
+
+    o["exact_dup_stats"] = ("SELECT count(*) AS n_docs, "
+                            "count(DISTINCT sha256(text)) AS n_unique "
+                            "FROM documents")
+
+    o["fingerprints"] = f"""
+SELECT doc_id,
+       list_min(list_transform({DOC_TOKS}, t -> md5(t))) AS min_token_md5,
+       md5(array_to_string(list_sort(list_distinct({DOC_TOKS})), ' ')) AS content_md5
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+    SHINGLES = (f"list_distinct(list_transform("
+                f"range(1, greatest(len({DOC_TOKS}) - 2, 1) + 1), "
+                f"i -> concat_ws(' ', {DOC_TOKS}[i], {DOC_TOKS}[i+1], "
+                f"{DOC_TOKS}[i+2])))")
+    o["ngram_jaccard_probe"] = f"""
+WITH sh AS (SELECT doc_id, {SHINGLES} AS shs FROM documents),
+probe AS (SELECT shs AS shs_b FROM sh WHERE doc_id = 0)
+SELECT sh.doc_id,
+       {X10K.format(v="len(list_intersect(sh.shs, probe.shs_b))::DOUBLE / "
+                      "(len(sh.shs) + len(probe.shs_b) "
+                      "- len(list_intersect(sh.shs, probe.shs_b)))")}
+         AS jaccard_x10k
+FROM sh CROSS JOIN probe WHERE sh.doc_id > 0 AND sh.doc_id < 200
+"""
+
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    o["quality_feature_ints"] = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({DOC_TOKS}) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g')) AS n_punct,
+       len(list_distinct({DOC_TOKS})) AS n_distinct,
+       len(list_filter({DOC_TOKS}, t -> t IN ({en}))) AS n_stop
+FROM documents WHERE doc_id < 100
+"""
+
+    o["quality_scores"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len({DOC_TOKS})::DOUBLE AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[A-Za-z0-9_\\s]', '', 'g'))::DOUBLE AS n_punct,
+         len(list_distinct({DOC_TOKS}))::DOUBLE AS n_distinct
+  FROM documents)
+SELECT doc_id, {X10K.format(v=_QSCORE)} AS q_x10k
+FROM f
+"""
+
+    hits = {lg: f"len(list_filter({DOC_TOKS}, t -> t IN "
+                f"({', '.join(repr(w) for w in ws)})))"
+            for lg, ws in LANG_STOPWORDS.items()}
+    o["langid_dist"] = f"""
+WITH h AS (
+  SELECT doc_id, {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+         {hits['es']} AS h_es, {hits['de']} AS h_de, {hits['zh']} AS h_zh
+  FROM documents),
+pred AS (
+  SELECT CASE
+    WHEN greatest(h_en, h_fr, h_es, h_de, h_zh) = 0 THEN 'und'
+    WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+    WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+    WHEN h_en >= h_de THEN 'en'
+    ELSE 'de' END AS lang_pred
+  FROM h)
+SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+    o["token_counts"] = f"""
+SELECT doc_id, len({DOC_TOKS}) AS n_tokens,
+       len(list_distinct({DOC_TOKS})) AS n_distinct
+FROM documents
+"""
+
+    o["dedupe_tokens_first_wins"] = f"""
+SELECT doc_id,
+       array_to_string(
+         list_filter({DOC_TOKS},
+                     (t, i) -> list_position({DOC_TOKS}, t) = i), ' ') AS deduped
+FROM documents WHERE doc_id < 50
+"""
+
+    o["cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+  FROM embeddings e CROSS JOIN q),
+dots AS (
+  SELECT vec_id, sum(a * b) AS ab, sqrt(sum(a * a)) AS na,
+         sqrt(sum(b * b)) AS nb
+  FROM pairs GROUP BY vec_id)
+SELECT vec_id, {X10K.format(v='ab / (na * nb)')} AS cos_x10k
+FROM dots ORDER BY cos_x10k DESC, vec_id ASC LIMIT 10
+"""
+
+    o["embedding_norms"] = f"""
+WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings
+           WHERE vec_id < 100)
+SELECT vec_id, {X10K.format(v='sqrt(sum(v * v))')} AS norm_x10k
+FROM x GROUP BY vec_id
+"""
+
+    o["sort_titles"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'),
+             '\s+', ' ', 'g')),
+           '^(the|a|an) ', '') AS k
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id, CASE WHEN k = '' THEN '~title unknown' ELSE k END AS sort_key
+FROM s
+"""
+
+    o["facet_decades"] = """
+SELECT concat(CAST((year(ts) // 10) * 10 AS VARCHAR), 's') AS decade,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY decade
+"""
+
+    o["ark_extracts"] = """
+SELECT doc_id,
+       regexp_extract('id ark:/12345/' || source || '|rest x',
+                      '(ark:/[0-9]{5}/[^/|\\s]*)', 1) AS ark
+FROM documents WHERE doc_id < 100
+"""
+
+    o["props_extract"] = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       count(*) AS n
+FROM events GROUP BY k_val ORDER BY k_val
+"""
+
+    o["make_dates"] = """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0
+                THEN '19' || CAST(event_id % 90 + 10 AS VARCHAR)
+              WHEN event_id % 3 = 1 THEN '2024-05-17'
+              ELSE 'not a date' END AS s
+  FROM events WHERE event_id < 300)
+SELECT event_id,
+       coalesce(strftime(coalesce(
+         try_cast(try_strptime(s, '%Y-%m-%d') AS DATE),
+         try_cast(try_strptime(s, '%Y') AS DATE)), '%Y-%m-%d'),
+         'none') AS parsed
+FROM raw
+"""
+
+    o["fix_repeated_years"] = """
+SELECT event_id,
+       CAST(user_id % 30 + 1980 AS VARCHAR) || ' and 2001-2002' AS fixed
+FROM events WHERE event_id < 300
+"""
+
+    o["first_event_per_user"] = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id
+"""
+
+    o["events_histogram"] = ("SELECT event_type, count(*) AS n FROM events "
+                             "GROUP BY event_type ORDER BY event_type")
+
+    o["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 500
+"""
+
+    o["keyset_page"] = ("SELECT doc_id, lang, n_chars FROM documents "
+                        "ORDER BY doc_id OFFSET 100 LIMIT 50")
+
+    o["top_customers"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_x100
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_x100,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_x100,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    return o

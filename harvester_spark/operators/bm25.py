@@ -55,16 +55,12 @@ def tokenize_query(query: str) -> list[str]:
 # Path A: index-free, pure built-ins (SQL-expressible / oracle-checkable)
 # --------------------------------------------------------------------------
 
-def query_topk_dataframe(docs: DataFrame, query: str, k: int, *,
-                         id_col: str = "doc_id", content_col: str = "content",
-                         mode: str = "or", k1: float = 1.2,
-                         b: float = 0.75) -> DataFrame:
-    """Top-k BM25 over a raw documents DataFrame, no prebuilt index.
-
-    Whole plan is Catalyst-visible: the term filter lands right above the
-    scan, the tf/df aggregations get map-side partial agg, the final top-k
-    plans as TakeOrderedAndProject. Returns (doc_id, score).
-    """
+def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
+                content_col: str = "content", mode: str = "or",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """All matching docs with exact BM25 scores (no limit) — the building
+    block for :func:`query_topk_dataframe` and for driver-oracle entries
+    that re-rank on rounded scores for cross-engine determinism."""
     terms = tokenize_query(query)
     spark = docs.sparkSession
     if not terms:
@@ -95,9 +91,21 @@ def query_topk_dataframe(docs: DataFrame, query: str, k: int, *,
                                        F.count("*").alias("nt"))
     if mode == "and":
         agg = agg.filter(F.col("nt") == len(terms))
-    return (agg.select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k))
+    return agg.select("doc_id", "score")
+
+
+def query_topk_dataframe(docs: DataFrame, query: str, k: int, *,
+                         id_col: str = "doc_id", content_col: str = "content",
+                         mode: str = "or", k1: float = 1.2,
+                         b: float = 0.75) -> DataFrame:
+    """Top-k BM25 over a raw documents DataFrame, no prebuilt index.
+
+    Whole plan is Catalyst-visible: the term filter lands right above the
+    scan, the tf/df aggregations get map-side partial agg, the final top-k
+    plans as TakeOrderedAndProject. Returns (doc_id, score)."""
+    scores = bm25_scores(docs, query, id_col=id_col, content_col=content_col,
+                         mode=mode, k1=k1, b=b)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 # --------------------------------------------------------------------------
