@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "index_build": {...}}
+
+The index build is timed separately (docs/sec — the BASELINE.json headline
+metric); queries run against the built index where applicable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.bm25 import (query_topk_dataframe,
+                                                query_topk_index)
+    from harvester_spark.operators.dedup import (minhash_lsh_pairs,
+                                                 simhash_near_pairs)
+    from harvester_spark.operators.index_build import IndexConfig, build_index
+    from harvester_spark.operators.similarity import cosine_topk
+    from harvester_spark.operators.textstats import quality_features
+    from harvester_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+    # test parquet ships as one file → one split; spread across cores
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(2 * cpus).cache())
+    n_docs = docs.count()
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .repartition(cpus).cache())
+    emb.count()
+
+    # --- index build throughput ---
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_") + "/idx"
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, content_col="text",
+                cfg=IndexConfig(salt_df_threshold=max(200, n_docs // 10),
+                                salt_range_docs=max(256, n_docs // 32)))
+    build_sec = time.time() - t0
+    index_build = {"docs": n_docs, "seconds": round(build_sec, 3),
+                   "docs_per_sec": round(n_docs / build_sec, 1)}
+
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+
+    def q_wand_common(s):
+        return query_topk_index(s, idx_dir, "batch", 10).collect()
+
+    def q_wand_multi(s):
+        return query_topk_index(s, idx_dir, "query data join", 10).collect()
+
+    def q_wand_and(s):
+        return query_topk_index(s, idx_dir, "table scan", 10,
+                                mode="and").collect()
+
+    def q_df_scorer(s):
+        return query_topk_dataframe(docs, "query data join", 10,
+                                    content_col="text").collect()
+
+    def q_minhash(s):
+        return minhash_lsh_pairs(docs, content_col="text",
+                                 jaccard_threshold=0.7).count()
+
+    def q_simhash(s):
+        return simhash_near_pairs(docs, content_col="text",
+                                  max_hamming=3).count()
+
+    def q_cosine(s):
+        return cosine_topk(emb, qv, 10).collect()
+
+    def q_quality(s):
+        return quality_features(docs, content_col="text") \
+            .agg(F.avg("quality_score")).collect()
+
+    def q_pricing(s):
+        li = s.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
+                     F.count("*")).collect())
+
+    suite = {
+        "bm25_wand_common": q_wand_common,
+        "bm25_wand_multi": q_wand_multi,
+        "bm25_wand_and": q_wand_and,
+        "bm25_dataframe": q_df_scorer,
+        "minhash_lsh_dedup": q_minhash,
+        "simhash_dedup": q_simhash,
+        "cosine_topk": q_cosine,
+        "quality_scores": q_quality,
+        "pricing_summary": q_pricing,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in suite.items():
+        t0 = time.time()
+        fn(spark)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()) + build_sec, 3)
+    print(json.dumps({
+        "metric": "index-build + headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "index_build": index_build,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,11 @@ designed for, seeded (seed=42, FIXTURES.md) — the analogue of the
 reference's golden XML fixtures (test/fixtures/testOAI-128-records.xml).
 Skew is baked in so the salting path is actually exercised: ``import``
 appears in >80% of python docs and dominates total postings.
+
+Generation is **per-document deterministic** (rng keyed by (seed, doc
+index)), so the same corpus can be produced serially in pandas
+(:func:`make_corpus`) or distributed across a cluster
+(:func:`make_corpus_spark`) — identical rows either way.
 """
 
 from __future__ import annotations
@@ -29,46 +34,64 @@ KEYWORD_W = np.array([400, 200, 120, 180, 160, 140, 150, 80, 60, 50, 40, 55,
                       25, 30, 20, 90, 45, 35, 40, 15, 22, 18, 70, 75, 65, 60,
                       50, 45, 40, 35, 30, 42, 38, 33, 28, 26, 24, 20, 18, 17,
                       16, 15, 14, 12, 10, 9], dtype=np.float64)
+KW_P = KEYWORD_W / KEYWORD_W.sum()
+
+
+def gen_rows(indices: np.ndarray, *, n_docs: int, seed: int = 42,
+             n_idents: int | None = None, avg_len: int = 120) -> pd.DataFrame:
+    """Generate the docs whose global indices are ``indices`` — the unit of
+    distributed generation. Each row depends only on (seed, index)."""
+    n_idents = n_idents or max(50, n_docs // 2)
+    n_repos = max(3, n_docs // 50)
+    repo_w = 1.0 / np.arange(1, n_repos + 1)
+    repo_p = repo_w / repo_w.sum()
+
+    rows = []
+    for i in indices:
+        i = int(i)
+        rng = np.random.default_rng((seed, i))
+        lang = LANGS[int(rng.choice(len(LANGS), p=LANG_P))]
+        repo_idx = int(rng.choice(n_repos, p=repo_p))
+        L = int(np.clip(int(rng.lognormal(np.log(avg_len), 0.8)), 20, 2000))
+        n_rare = max(2, L // 40)
+        kw = rng.choice(KEYWORDS, size=L - n_rare, p=KW_P).tolist()
+        rare = [f"ident_{int(x)}" for x in rng.integers(0, n_idents, n_rare)]
+        toks = kw + rare
+        if lang == "python" and rng.random() < 0.9:
+            toks[0] = "import"
+        rng.shuffle(toks)
+        repo = f"org{repo_idx % 7}/proj{repo_idx}"
+        path = f"src/m{i % 97}/file_{i}.{EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}:{path}:0".encode()).hexdigest()
+        rows.append((repo, path, commit, lang, " ".join(toks)))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang",
+                                       "content"])
 
 
 def make_corpus(n_docs: int, seed: int = 42, n_idents: int | None = None,
                 avg_len: int = 120) -> pd.DataFrame:
-    """Build the corpus as pandas (callers parallelize via spark.createDataFrame).
+    """Serial generation (tests, small fixtures)."""
+    return gen_rows(np.arange(n_docs), n_docs=n_docs, seed=seed,
+                    n_idents=n_idents, avg_len=avg_len)
 
-    Each doc: skewed keyword tokens + a few rare ``ident_k`` tokens so every
-    doc has discriminative terms. Length log-normal, clipped to [20, 2000].
-    """
-    rng = np.random.default_rng(seed)
-    n_idents = n_idents or max(50, n_docs // 2)
 
-    lang = rng.choice(len(LANGS), size=n_docs, p=LANG_P)
-    n_repos = max(3, n_docs // 50)
-    # Zipf-ish repo sizes
-    repo_w = 1.0 / np.arange(1, n_repos + 1)
-    repo_idx = rng.choice(n_repos, size=n_docs, p=repo_w / repo_w.sum())
+def make_corpus_spark(spark, n_docs: int, seed: int = 42,
+                      num_partitions: int | None = None,
+                      avg_len: int = 120):
+    """Distributed generation: identical rows to :func:`make_corpus`, built
+    in parallel via mapInPandas over a doc-index range."""
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
-    lens = np.clip(rng.lognormal(np.log(avg_len), 0.8, n_docs).astype(np.int64),
-                   20, 2000)
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield gen_rows(pdf["id"].to_numpy(), n_docs=n_docs,
+                               seed=seed, avg_len=avg_len)
 
-    kw_p = KEYWORD_W / KEYWORD_W.sum()
-    rows = []
-    for i in range(n_docs):
-        L = int(lens[i])
-        n_rare = max(2, L // 40)
-        kw = rng.choice(KEYWORDS, size=L - n_rare, p=kw_p).tolist()
-        rare = [f"ident_{int(x)}" for x in rng.integers(0, n_idents, n_rare)]
-        toks = kw + rare
-        # python docs get a guaranteed leading 'import' >80% of the time
-        if LANGS[lang[i]] == "python" and rng.random() < 0.9:
-            toks[0] = "import"
-        rng.shuffle(toks)
-        lg = LANGS[lang[i]]
-        repo = f"org{repo_idx[i] % 7}/proj{repo_idx[i]}"
-        path = f"src/m{i % 97}/file_{i}.{EXT[lg]}"
-        commit = hashlib.sha1(f"{repo}:{path}:0".encode()).hexdigest()
-        rows.append((repo, path, commit, lg, " ".join(toks)))
-    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang",
-                                       "content"])
+    rng_df = spark.range(0, n_docs, 1, num_partitions)
+    return rng_df.mapInPandas(
+        gen, "repo string, path string, commit string, lang string, "
+             "content string")
 
 
 QUERY_SET: list[tuple[str, int]] = [

@@ -33,6 +33,7 @@ Scale notes (design for 1000 executors / 100 TB):
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -106,6 +107,8 @@ def doc_terms(docs: DataFrame, *, id_col: str = "doc_id",
                       F.col(content_col).alias("content"))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        pa.set_cpu_count(1)  # one worker per core already; don't oversubscribe
         for pdf in batches:
             tf = term_frequencies_pandas(pdf["content"])
             if tf.empty:
@@ -299,10 +302,19 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
 
     src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(content_col).alias("content"))
+    # Input parallelism guard: a source packed into few files (or one) would
+    # serialize S1's tokenization; spread it across the cluster. At real
+    # scale the source already has thousands of splits and this repartition
+    # is a no-op-ish round-robin of similar cost to the read itself.
+    n_input = cfg.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    if src.rdd.getNumPartitions() < n_input:
+        src = src.repartition(n_input, "doc_id")
 
-    # S1 — doc_terms
+    # S1 — doc_terms (unsorted: downstream consumers aggregate or
+    # repartition anyway, so a per-partition sort here is pure overhead)
     dt_path = stage("doc_terms", lambda out: tables.write_table(
-        doc_terms(src), out, sort_cols=["term"]))
+        doc_terms(src), out))
     dt = tables.read_table(spark, dt_path)
 
     # S2 — doc_stats (dl from S1; docs absent from S1 have dl=0 but still
@@ -316,15 +328,15 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
     ds_path = stage("doc_stats", s2)
     doc_stats = tables.read_table(spark, ds_path)
 
-    # S3 — global stats (scalars)
+    # S3 — global stats (two scalars; JSON commit, no parquet job)
     def s3(out: Path) -> None:
         row = doc_stats.agg(F.count("*").alias("N"),
                             F.avg("dl").alias("avgdl")).collect()[0]
-        sdf = spark.createDataFrame(
-            [(int(row["N"]), float(row["avgdl"] or 0.0), cfg.k1, cfg.b)],
-            "N long, avgdl double, k1 double, b double")
-        tables.write_table(sdf, out, meta={"N": int(row["N"]),
-                                           "avgdl": float(row["avgdl"] or 0.0)})
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "_table_meta.json").write_text(json.dumps(
+            {"N": int(row["N"]), "avgdl": float(row["avgdl"] or 0.0),
+             "k1": cfg.k1, "b": cfg.b}))
+        (out / tables.SUCCESS_MARKER).touch()
     st_path = stage("stats", s3)
     stats_meta = tables.read_meta(st_path)
     n_docs, avgdl = stats_meta["N"], stats_meta["avgdl"]

@@ -11,6 +11,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Pin per-worker BLAS/OpenMP pools to one thread: each Spark task already
+# owns a core; N workers × M BLAS threads oversubscribes catastrophically
+# (measured: 3× slowdown of pandas-UDF stages at local[32]).
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def get_spark(
     app_name: str = "harvester_spark",
@@ -42,7 +49,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM runs every task thread — size the heap
+        # for the concurrency (32 threads sorting/writing on 8g = GC storm)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         # Arrow-native UDF execution path (Spark 4): faster pandas UDF serde.
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")

@@ -1,0 +1,176 @@
+"""Incremental index maintenance — the CDC loop of the reference.
+
+The reference consumes a CouchDB ``_changes`` feed with a persisted
+``last_seq`` watermark (harvester/solr_updater.py:875-962, checkpoint at
+:776-791), upserting docs into Solr and deleting by ``harvest_id_s`` query
+(:914-924); full rebuild = ``since=0``. This module is the Spark-native
+equivalent:
+
+- a **delta-index** layout: ``root/base`` plus ``root/delta_NNNNN`` index
+  dirs and a ``root/tombstones`` table (delete-by-query analogue,
+  solr_updater.py:793-817);
+- :func:`apply_changes` — one batch of ``(doc_id, deleted, content)`` change
+  events → new delta index + tombstones + advanced ``last_seq`` checkpoint;
+- :func:`query_topk_incremental` — queries the union of base+deltas minus
+  tombstones. Stats convention matches Lucene/Solr: documents deleted since
+  the last compaction still count in N/avgdl/df until :func:`compact` runs
+  (exactly how Solr behaves between commits with deletes pending merge);
+- :func:`compact` — full rebuild from the live doc set; after compaction
+  results are rank-identical to a from-scratch build.
+
+At scale each delta build is a normal (small) distributed index build; the
+tombstone anti-join is a broadcast join while tombstones are sparse.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvester_spark import tables
+from harvester_spark.operators.bm25 import SCORE_SCHEMA, tokenize_query
+from harvester_spark.operators.index_build import IndexConfig, build_index
+
+
+def init_root(spark: SparkSession, docs: DataFrame, root: str | Path, *,
+              content_col: str = "content",
+              cfg: IndexConfig | None = None) -> None:
+    """Full build into ``root/base`` (the ``since=0`` path)."""
+    root = Path(root)
+    build_index(spark, docs, root / "base", content_col=content_col, cfg=cfg)
+    (root / "last_seq").write_text("0")
+
+
+def last_seq(root: str | Path) -> int:
+    p = Path(root) / "last_seq"
+    return int(p.read_text()) if p.exists() else 0
+
+
+def _delta_dirs(root: Path) -> list[Path]:
+    return sorted(d for d in root.glob("delta_*") if tables.is_committed(
+        d / "postings"))
+
+
+def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
+                  seq: int, *, content_col: str = "content",
+                  cfg: IndexConfig | None = None) -> None:
+    """Apply one CDC batch. ``changes``: (doc_id, deleted bool, content).
+
+    Upserts = tombstone the old version + index the new one in a delta
+    (the reference's delete-then-add at solr_updater.py:914-947).
+    Idempotent per ``seq``: re-applying an already-recorded seq is a no-op
+    (the at-least-once + idempotent-upsert contract of the reference feed).
+    """
+    root = Path(root)
+    if seq <= last_seq(root):
+        return
+    delta_dir = root / f"delta_{seq:08d}"
+
+    # every changed doc id is tombstoned out of older segments
+    tomb_new = changes.select(F.col("doc_id").cast("long"),
+                              F.lit(seq).alias("seq"))
+    tomb_path = root / "tombstones"
+    if tables.is_committed(tomb_path):
+        old = tables.read_table(spark, tomb_path)
+        tomb_new = old.unionByName(tomb_new).groupBy("doc_id").agg(
+            F.max("seq").alias("seq"))
+    # write via temp-and-rename (write_table) — crash-safe
+    tables.write_table(tomb_new, root / "tombstones.__next__")
+    upserts = changes.filter(~F.col("deleted")).select("doc_id", content_col)
+    if upserts.limit(1).count() > 0:
+        build_index(spark, upserts, delta_dir, content_col=content_col,
+                    cfg=cfg)
+    # commit point: tombstones swap + last_seq advance
+    import shutil
+    if tomb_path.exists():
+        shutil.rmtree(tomb_path)
+    (root / "tombstones.__next__").rename(tomb_path)
+    (root / "last_seq").write_text(str(seq))
+
+
+def live_doc_filter(spark: SparkSession, root: str | Path,
+                    scores: DataFrame, segment_seq: int) -> DataFrame:
+    """Drop docs tombstoned AFTER the segment that produced them."""
+    root = Path(root)
+    tomb_path = root / "tombstones"
+    if not tables.is_committed(tomb_path):
+        return scores
+    tomb = (tables.read_table(spark, tomb_path)
+            .filter(F.col("seq") > segment_seq)
+            .select("doc_id"))
+    return scores.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+
+def query_topk_incremental(spark: SparkSession, root: str | Path, query: str,
+                           k: int, *, mode: str = "or") -> DataFrame:
+    """Top-k over base + deltas, tombstones filtered per segment.
+
+    Each segment is scored with its own stats (Lucene per-segment scoring
+    convention); the newest version of a doc wins by construction because
+    older versions are tombstoned at upsert time.
+    """
+    from harvester_spark.operators.bm25 import query_topk_index
+    root = Path(root)
+    parts: list[DataFrame] = []
+    segs: list[tuple[Path, int]] = [(root / "base", 0)]
+    segs += [(d, int(d.name.split("_")[1])) for d in _delta_dirs(root)]
+    for seg, seq in segs:
+        if not tables.is_committed(seg / "postings"):
+            continue
+        scores = query_topk_index(spark, seg, query, k, mode=mode,
+                                  prune=False)
+        parts.append(live_doc_filter(spark, root, scores, seq))
+    if not parts:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    allscores = parts[0]
+    for p in parts[1:]:
+        allscores = allscores.unionByName(p)
+    return (allscores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def compact(spark: SparkSession, root: str | Path, live_docs: DataFrame, *,
+            content_col: str = "content",
+            cfg: IndexConfig | None = None) -> None:
+    """Rebuild ``base`` from the live document set and clear deltas +
+    tombstones (the reference's full re-sync, sync_couch_collection_to_solr,
+    solr_updater.py:831-872). After this, queries are rank-identical to a
+    fresh build."""
+    import shutil
+    root = Path(root)
+    new_base = root / "base.__next__"
+    if new_base.exists():
+        shutil.rmtree(new_base)
+    build_index(spark, live_docs, new_base, content_col=content_col, cfg=cfg)
+    old = root / "base"
+    if old.exists():
+        shutil.rmtree(old)
+    new_base.rename(old)
+    for d in root.glob("delta_*"):
+        shutil.rmtree(d)
+    tomb = root / "tombstones"
+    if tomb.exists():
+        shutil.rmtree(tomb)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: windowed event aggregation with watermark
+# (SURVEY §2.10 — the reference's feed has no event-time windows; this is
+# the training-pipeline-grade streaming operator over the events table)
+# ---------------------------------------------------------------------------
+
+def windowed_event_counts(events_stream: DataFrame, *,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """readStream-ready tumbling-window count/sum per event_type with
+    late-data watermark. Works identically on a batch DataFrame (Spark
+    unifies the API); tests drive it through an actual stream."""
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "sum_value"))

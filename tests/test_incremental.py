@@ -1,0 +1,105 @@
+"""CDC / incremental-index semantics (solr_updater.main analogue)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_spark.fixtures.corpus import make_corpus
+from harvester_spark.fixtures.oracle import OracleBM25
+from harvester_spark.operators.bm25 import tokenize_query
+from harvester_spark.operators.docids import assign_doc_ids
+from harvester_spark.operators.index_build import IndexConfig
+from harvester_spark.streaming import incremental as inc
+
+CFG = IndexConfig(salt_df_threshold=10**9, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def base_docs(spark):
+    pdf = make_corpus(150, seed=42)
+    df = assign_doc_ids(spark.createDataFrame(pdf), num_partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_cdc_upsert_delete_and_compact(spark, base_docs, tmp_path):
+    root = tmp_path / "root"
+    inc.init_root(spark, base_docs, root, cfg=CFG)
+    assert inc.last_seq(root) == 0
+
+    # batch 1: delete docs 0-4, upsert doc 5 with new content, add new doc 900
+    new5 = "zz_new_token zz_new_token import def"
+    changes1 = spark.createDataFrame(
+        [(i, True, None) for i in range(5)]
+        + [(5, False, new5), (900, False, "zz_new_token fresh doc value")],
+        "doc_id long, deleted boolean, content string")
+    inc.apply_changes(spark, root, changes1, seq=1, cfg=CFG)
+    assert inc.last_seq(root) == 1
+
+    res = inc.query_topk_incremental(spark, root, "zz_new_token", 10).toPandas()
+    assert set(res["doc_id"]) == {5, 900}
+
+    # deleted docs never returned
+    res2 = inc.query_topk_incremental(spark, root, "import", 200).toPandas()
+    assert not (set(res2["doc_id"]) & set(range(5)))
+    # old version of doc 5 is gone: its old rare idents don't return doc 5
+    # (query a token only in the old content)
+    old5 = base_docs.filter(F.col("doc_id") == 5).first()["content"].split()
+    rare_old = next(t for t in old5 if t.startswith("ident_"))
+    res3 = inc.query_topk_incremental(spark, root, rare_old, 200).toPandas()
+    assert 5 not in set(res3["doc_id"])
+
+    # idempotency: re-applying seq=1 is a no-op
+    inc.apply_changes(spark, root, changes1, seq=1, cfg=CFG)
+    assert inc.last_seq(root) == 1
+
+    # compact → rank-identical to oracle over the live doc set
+    live_pdf = base_docs.select("doc_id", "content").toPandas()
+    live_pdf = live_pdf[~live_pdf["doc_id"].isin(range(5))]
+    live_pdf = live_pdf[live_pdf["doc_id"] != 5]
+    live_pdf = pd.concat([live_pdf, pd.DataFrame(
+        {"doc_id": [5, 900], "content": [new5, "zz_new_token fresh doc value"]})],
+        ignore_index=True)
+    live_df = spark.createDataFrame(live_pdf)
+    inc.compact(spark, root, live_df, cfg=CFG)
+
+    oracle = OracleBM25(live_pdf, content_col="content")
+    for q in ["import", "zz_new_token", "def class"]:
+        got = inc.query_topk_incremental(spark, root, q, 10).toPandas()
+        want = oracle.topk(tokenize_query(q), 10)
+        assert list(got["doc_id"]) == list(want["doc_id"]), q
+        if len(want):
+            import numpy as np
+            np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Drive windowed_event_counts through an actual micro-batch stream."""
+    import datetime as dt
+    events = [(i, dt.datetime(2024, 1, 1, h, 30), "click", 1.0)
+              for i, h in enumerate([0, 0, 1, 1, 1, 2])]
+    src_dir = tmp_path / "stream_src"
+    # write the source through Spark so parquet carries Spark timestamps
+    (spark.createDataFrame(events,
+                           "event_id long, ts timestamp, event_type string, "
+                           "value double")
+     .coalesce(1).write.mode("overwrite").parquet(str(src_dir)))
+
+    from harvester_spark.streaming.incremental import windowed_event_counts
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double")
+        .parquet(str(src_dir)))
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    # complete mode: a single availableNow batch never advances the
+    # watermark far enough for append-mode emission; complete shows all
+    # windows while the watermark plumbing still runs in the plan
+    q = (out.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    res = spark.sql("select * from wincounts").toPandas()
+    got = {(r.window_start.hour, r.event_type): r.n for r in res.itertuples()}
+    assert got.get((0, "click")) == 2
+    assert got.get((1, "click")) == 3
+    assert got.get((2, "click")) == 1
