@@ -65,9 +65,16 @@ def timed_build(cores: int) -> dict:
     # has per-node local disks + parallel object-store IO.
     shm = "/dev/shm/bench"
     os.makedirs(f"{shm}/spark-local", exist_ok=True)
-    spark = get_spark(f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=SHUFFLE_PARTITIONS,
-                      extra_conf={"spark.local.dir": f"{shm}/spark-local"})
+    spark = get_spark(
+        f"scaling-{cores}", cores=cores,
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={
+            "spark.local.dir": f"{shm}/spark-local",
+            # corpus files are small; default 128MB split coalescing would
+            # collapse the scan to ~5 splits and serialize the map side
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        })
     docs = spark.read.parquet(str(CORPUS_DIR))
     n = docs.count()
     cfg = IndexConfig(salt_df_threshold=max(1000, n // 20),

@@ -6,29 +6,33 @@ Pipeline (each stage a materialized, resumable checkpoint — the analogue of
 the reference's per-run ingest doc + ``last_seq`` watermark,
 harvester/fetcher/controller.py:159-212, solr_updater.py:776-791):
 
-  S1 doc_terms   docs → (doc_id, term, tf, dl)       mapInPandas, vectorized
-  S2 doc_stats   (doc_id, dl)  — from S1, no re-tokenize
-  S3 stats       N, avgdl (scalars)
-  S4 dictionary  (term, df, cf, idf)
-  S5 postings    delta+varint blocks w/ block-max metadata, term-sharded,
-                 skew-salted (hot terms split by doc-id range)
-  S6 lineage     per-partition build provenance
+  S1 packed      map-side posting packs: per (term, arrow-batch) varint
+                 sub-lists — THE shuffle-volume optimization (see below);
+                 one pass over content, no shuffle
+  S2 stats       N, avgdl — derived from pack metadata, no second pass
+  S3 dictionary  (term, df, cf, idf)        tiny agg over pack metadata
+  S4 postings    term-sharded merge of packs → final delta+varint blocks
+                 with block-max metadata; hot terms salted
+  S5 lineage     per-partition build provenance
 
-Scale notes (design for 1000 executors / 100 TB):
-- S1 is a narrow map — no shuffle; TF is computed per document inside the
-  Arrow batch, so the token-level explode+groupBy shuffle that a naive
-  implementation would pay (|tokens| rows) never happens.
-- S4/S2 aggregations get map-side partial aggregation from Catalyst, so the
-  extreme term skew of code corpora ('import' in >80% of python docs) does
-  not skew the shuffle: each map partition emits one partial row per term.
-- S5 is the one unavoidable shuffle (group postings by term). Skew is
-  handled explicitly: terms with df above ``salt_df_threshold`` are salted
-  by doc-id range, so a pathological term's postings split into bounded
-  groups that different tasks build independently; the salted blocks are
-  already disjoint and ordered by construction (salt ranges are contiguous
-  doc-id ranges), so no re-merge is needed.
-- Block encoding is numpy-vectorized across an entire Arrow batch (one
-  varint stream per batch, sliced per block) — no per-posting Python.
+Why map-side packing (S3) instead of shuffling (doc_id, term, tf) rows:
+a code corpus at 10^12 files produces ~10^14 posting rows; shuffling them
+as rows costs ~40 B each (columns + shuffle framing) while the same posting
+packed map-side costs ~4-6 B (varint gap + tf + dl). Pre-aggregation into
+packs cuts the only unavoidable shuffle by ~7× AND removes the need to
+materialize a row-form term-doc table at all. Measured on this sandbox the
+row-shuffle saturated memory bandwidth at 4 cores; packs restore scaling.
+
+Skew: pack merge groups by (term, salt) where hot terms (df above
+threshold, detected from pack metadata — the heavy-hitter pass) spread
+their packs across ``s(term) = ceil(df / salt_range_docs)`` salts by
+pack partition id. Merged blocks of different salts may overlap in doc-id
+range; scoring accumulates per doc_id so overlap is harmless, and tests
+enforce decoded-content equality salted vs unsalted.
+
+Vectorization: tokenization + TF via pyarrow kernels; pack/merge encode via
+numpy (single varint stream per batch, sliced per pack/block). No per-row
+Python anywhere.
 """
 
 from __future__ import annotations
@@ -47,9 +51,8 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from harvester_spark import tables
-from harvester_spark.functions.tokenize import term_frequencies_pandas
-from harvester_spark.operators.codec import (BLOCK_SIZE, varint_encode,
-                                             varint_sizes)
+from harvester_spark.operators.codec import (BLOCK_SIZE, varint_decode,
+                                             varint_encode, varint_sizes)
 
 K1 = 1.2
 B = 0.75
@@ -62,18 +65,23 @@ class IndexConfig:
     k1: float = K1
     b: float = B
     block_size: int = BLOCK_SIZE
-    # term is "hot" (gets salted) when its df exceeds this
+    # term is "hot" (merge salted) when its df exceeds this
     salt_df_threshold: int = 100_000
-    # postings per salt bucket for hot terms (contiguous doc-id ranges)
+    # target postings per salt bucket for hot terms
     salt_range_docs: int = 1_000_000
     shuffle_partitions: int | None = None
 
 
-DOC_TERMS_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
+PACKED_SCHEMA = StructType([
     StructField("term", StringType()),
-    StructField("tf", IntegerType()),
-    StructField("dl", IntegerType()),
+    StructField("part_id", IntegerType()),
+    StructField("doc_count", IntegerType()),
+    StructField("sum_tf", LongType()),
+    StructField("max_tf", IntegerType()),
+    StructField("doc_id_first", LongType()),
+    StructField("ids", BinaryType()),   # varint gaps (doc_count-1 values)
+    StructField("tfs", BinaryType()),
+    StructField("dls", BinaryType()),
 ])
 
 POSTINGS_SCHEMA = StructType([
@@ -93,51 +101,115 @@ POSTINGS_SCHEMA = StructType([
 
 
 # --------------------------------------------------------------------------
-# S1: per-document term frequencies (vectorized, shuffle-free)
+# vectorized helpers
 # --------------------------------------------------------------------------
 
-def doc_terms(docs: DataFrame, *, id_col: str = "doc_id",
-              content_col: str = "content") -> DataFrame:
-    """(doc_id, term, tf, dl) — one row per distinct term per doc.
+def _slice_stream(values: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray, keep: np.ndarray | None = None
+                  ) -> list[bytes]:
+    """Encode ``values`` as ONE varint stream; return per-[start,end) byte
+    slices. ``keep`` masks values excluded from the stream (their size is 0
+    so offsets stay aligned)."""
+    if keep is None:
+        stream = varint_encode(values)
+        nb = varint_sizes(values) if values.size else np.empty(0, np.int64)
+    else:
+        kept = values[keep]
+        stream = varint_encode(kept)
+        nb = np.zeros(values.size, dtype=np.int64)
+        if kept.size:
+            nb[keep] = varint_sizes(kept)
+    cum = np.concatenate(([0], np.cumsum(nb)))
+    return [stream[cum[s]:cum[e]] for s, e in zip(starts, ends)]
 
-    Replaces Solr's analyzer+indexer intake. TF aggregation happens inside
-    the Arrow batch (pandas C kernels), so no token-level shuffle exists.
-    """
+
+def _tfnorm(tf: np.ndarray, dl: np.ndarray, k1: float, b: float,
+            avgdl: float) -> np.ndarray:
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+# --------------------------------------------------------------------------
+# S3: map-side posting packer (no shuffle; one pass over content)
+# --------------------------------------------------------------------------
+
+def build_packs(docs: DataFrame, cfg: IndexConfig, *,
+                id_col: str = "doc_id",
+                content_col: str = "content") -> DataFrame:
+    """docs → one pack row per (term, arrow batch): sorted doc ids +
+    tfs + dls, varint-encoded, with per-pack metadata.
+
+    Deliberately independent of global stats (avgdl): score-related
+    metadata (block_max_tfnorm) is computed at merge time, so packing is
+    the FIRST stage — one pass over content, no prior scan needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from harvester_spark.functions.tokenize import TOKEN_SPLIT_RE
+
     src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(content_col).alias("content"))
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow as pa
-        pa.set_cpu_count(1)  # one worker per core already; don't oversubscribe
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pa.set_cpu_count(1)
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
         for pdf in batches:
-            tf = term_frequencies_pandas(pdf["content"])
-            if tf.empty:
+            if not len(pdf):
                 continue
-            tf["doc_id"] = pdf["doc_id"].values[tf["_pos"].values]
-            dl = tf.groupby("_pos")["tf"].transform("sum")
-            out = pd.DataFrame({
-                "doc_id": tf["doc_id"].astype("int64"),
-                "term": tf["term"],
-                "tf": tf["tf"].astype("int32"),
-                "dl": dl.astype("int32"),
-            })
-            yield out
+            arr = pa.Array.from_pandas(pdf["content"].fillna(""))
+            splits = pc.split_pattern_regex(pc.utf8_lower(arr),
+                                            TOKEN_SPLIT_RE)
+            flat = pc.list_flatten(splits)
+            parent = pc.list_parent_indices(splits)
+            mask = pc.not_equal(flat, "")
+            tbl = pa.table({"pos": pc.filter(parent, mask),
+                            "t": pc.filter(flat, mask)})
+            if tbl.num_rows == 0:
+                continue
+            agg = (tbl.group_by(["pos", "t"])
+                   .aggregate([([], "count_all")]))
+            pos = agg.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            terms = agg.column(1).to_pandas().to_numpy()
+            tf = agg.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            # doc length = sum of tf per pos (bincount over batch positions)
+            dl_by_pos = np.bincount(pos, weights=tf, minlength=len(pdf))
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)[pos]
+            dl = dl_by_pos[pos].astype(np.int64)
 
-    return src.mapInPandas(compute, schema=DOC_TERMS_SCHEMA)
+            order = np.lexsort((doc_ids, terms))
+            terms, doc_ids, tf, dl = (terms[order], doc_ids[order],
+                                      tf[order], dl[order])
+            new_term = np.ones(terms.size, dtype=bool)
+            new_term[1:] = terms[1:] != terms[:-1]
+            starts = np.nonzero(new_term)[0]
+            ends = np.append(starts[1:], terms.size)
+
+            gaps = np.zeros(terms.size, dtype=np.uint64)
+            gaps[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+            yield pd.DataFrame({
+                "term": terms[starts],
+                "part_id": np.full(starts.size, part_id, dtype=np.int32),
+                "doc_count": (ends - starts).astype(np.int32),
+                "sum_tf": np.add.reduceat(tf, starts).astype(np.int64),
+                "max_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
+                "doc_id_first": doc_ids[starts],
+                "ids": _slice_stream(gaps, starts, ends, keep=~new_term),
+                "tfs": _slice_stream(tf.astype(np.uint64), starts, ends),
+                "dls": _slice_stream(dl.astype(np.uint64), starts, ends),
+            })
+
+    return src.mapInPandas(pack, schema=PACKED_SCHEMA)
 
 
 # --------------------------------------------------------------------------
-# S5: posting-block encoder (batch-vectorized)
+# S5: term-sharded merge of packs → final blocks
 # --------------------------------------------------------------------------
 
 def _encode_blocks(pdf: pd.DataFrame, k1: float, b: float, avgdl: float,
                    block_size: int, part_id: int) -> pd.DataFrame:
-    """Encode one sorted (term, salt, doc_id) run of rows into block rows.
-
-    Fully vectorized: a single varint stream per field per batch, sliced per
-    block via byte-offset arithmetic. The only Python-level loop is the
-    per-block byte slicing.
-    """
+    """Encode sorted (term, salt, doc_id, tf, dl) rows into block rows.
+    Fully vectorized (one varint stream per field, sliced per block)."""
     n = len(pdf)
     term = pdf["term"].to_numpy()
     salt = pdf["salt"].to_numpy()
@@ -150,112 +222,138 @@ def _encode_blocks(pdf: pd.DataFrame, k1: float, b: float, avgdl: float,
     grp = np.cumsum(new_group) - 1
     grp_starts = np.nonzero(new_group)[0]
     pos = np.arange(n) - grp_starts[grp]
-    new_block = pos % block_size == 0  # group starts have pos == 0
+    new_block = pos % block_size == 0
     blk_starts = np.nonzero(new_block)[0]
     blk_ends = np.append(blk_starts[1:], n)
 
-    doc_count = (blk_ends - blk_starts).astype(np.int32)
-    doc_id_first = ids[blk_starts]
-    doc_id_last = ids[blk_ends - 1]
-    max_tf = np.maximum.reduceat(tf, blk_starts).astype(np.int32)
-    tfnorm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-    block_max_tfnorm = np.maximum.reduceat(tfnorm, blk_starts)
-
-    # block_id local to each (term, salt) group
+    tfnorm = _tfnorm(tf.astype(np.float64), dl.astype(np.float64),
+                     k1, b, avgdl)
     blk_grp = grp[blk_starts]
-    first_blk_of_grp = np.zeros(len(blk_starts), dtype=np.int64)
-    ng = np.ones(len(blk_starts), dtype=bool)
+    ng = np.ones(blk_starts.size, dtype=bool)
     ng[1:] = blk_grp[1:] != blk_grp[:-1]
-    first_blk_of_grp = np.maximum.accumulate(np.where(ng, np.arange(len(blk_starts)), 0))
-    block_id = (np.arange(len(blk_starts)) - first_blk_of_grp).astype(np.int32)
+    first_blk = np.maximum.accumulate(
+        np.where(ng, np.arange(blk_starts.size), 0))
 
-    # shared varint streams, sliced per block
     gaps = np.zeros(n, dtype=np.uint64)
     gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
-    keep = ~new_block
-    gap_vals = gaps[keep]
-    gap_stream = varint_encode(gap_vals)
-    row_nb = np.zeros(n, dtype=np.int64)
-    if gap_vals.size:
-        row_nb[keep] = varint_sizes(gap_vals)
-    gap_cum = np.concatenate(([0], np.cumsum(row_nb)))
-
-    tf_stream = varint_encode(tf)
-    tf_cum = np.concatenate(([0], np.cumsum(varint_sizes(tf))))
-    dl_stream = varint_encode(dl)
-    dl_cum = np.concatenate(([0], np.cumsum(varint_sizes(dl))))
-
-    deltas = [gap_stream[gap_cum[s]:gap_cum[e]] for s, e in zip(blk_starts, blk_ends)]
-    tfs = [tf_stream[tf_cum[s]:tf_cum[e]] for s, e in zip(blk_starts, blk_ends)]
-    dls = [dl_stream[dl_cum[s]:dl_cum[e]] for s, e in zip(blk_starts, blk_ends)]
-
     return pd.DataFrame({
         "term": term[blk_starts],
         "salt": salt[blk_starts].astype("int32"),
-        "block_id": block_id,
-        "doc_id_first": doc_id_first,
-        "doc_id_last": doc_id_last,
-        "doc_count": doc_count,
-        "max_tf": max_tf,
-        "block_max_tfnorm": block_max_tfnorm,
-        "deltas": deltas,
-        "tfs": tfs,
-        "dls": dls,
-        "part_id": np.full(len(blk_starts), part_id, dtype=np.int32),
+        "block_id": (np.arange(blk_starts.size) - first_blk).astype("int32"),
+        "doc_id_first": ids[blk_starts],
+        "doc_id_last": ids[blk_ends - 1],
+        "doc_count": (blk_ends - blk_starts).astype("int32"),
+        "max_tf": np.maximum.reduceat(tf, blk_starts).astype("int32"),
+        "block_max_tfnorm": np.maximum.reduceat(tfnorm, blk_starts),
+        "deltas": _slice_stream(gaps, blk_starts, blk_ends, keep=~new_block),
+        "tfs": _slice_stream(tf.astype(np.uint64), blk_starts, blk_ends),
+        "dls": _slice_stream(dl.astype(np.uint64), blk_starts, blk_ends),
+        "part_id": np.full(blk_starts.size, part_id, dtype=np.int32),
     })
 
 
-def build_postings(doc_terms_df: DataFrame, dictionary: DataFrame,
-                   avgdl: float, cfg: IndexConfig) -> DataFrame:
-    """Group (doc_id, term, tf, dl) rows into encoded posting blocks.
+def _decode_packs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack rows → (term, salt, doc_id, tf, dl) rows, sorted
+    (term, salt, doc_id).
 
-    The shuffle key is (term, salt): hot terms (df > threshold, found from
-    the already-built dictionary — the 'heavy hitter detection pass' of
-    SURVEY §4.1) are salted by contiguous doc-id range so no single task
-    owns a pathological term. Within each shuffle partition rows are sorted
-    (term, salt, doc_id) and encoded by a mapInPandas that carries group
-    remainders across Arrow batch boundaries — grouped-map applyInPandas
-    would materialize one pandas frame per group, which collapses under
-    millions of single-posting groups.
+    Fully vectorized across packs: every pack's varint stream is joined and
+    decoded in ONE call, then doc ids are reconstructed with a segmented
+    cumulative sum. (A per-pack loop dies here: rare identifiers create
+    millions of single-posting packs.)
     """
-    hot = (dictionary.filter(F.col("df") > cfg.salt_df_threshold)
-           .select("term").withColumn("__hot", F.lit(True)))
-    salted = (doc_terms_df
-              .join(F.broadcast(hot), "term", "left")
-              .withColumn("salt",
-                          F.when(F.col("__hot"),
-                                 (F.col("doc_id") / cfg.salt_range_docs).cast("int"))
-                          .otherwise(F.lit(0)))
-              .drop("__hot"))
+    counts = pdf["doc_count"].to_numpy(np.int64)
+    firsts = pdf["doc_id_first"].to_numpy(np.int64)
+    total = int(counts.sum())
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    gaps = varint_decode(b"".join(pdf["ids"])).astype(np.int64)
+    vals = np.zeros(total, dtype=np.int64)
+    is_start = np.zeros(total, dtype=bool)
+    is_start[starts] = True
+    vals[is_start] = firsts
+    vals[~is_start] = gaps
+    cum = np.cumsum(vals)
+    doc_id = cum - np.repeat(cum[starts] - firsts, counts)
+
+    tf = varint_decode(b"".join(pdf["tfs"])).astype(np.int64)
+    dl = varint_decode(b"".join(pdf["dls"])).astype(np.int64)
+
+    # rows arrive sorted by (term, salt, doc_id_first) → pack index order
+    # is already the (term, salt) order; encode terms as codes for lexsort
+    term_vals = pdf["term"].to_numpy()
+    new_key = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        salt_vals = pdf["salt"].to_numpy()
+        new_key[1:] = ((term_vals[1:] != term_vals[:-1])
+                       | (salt_vals[1:] != salt_vals[:-1]))
+    key_code = np.cumsum(new_key) - 1
+    row_key = np.repeat(key_code, counts)
+    order = np.lexsort((doc_id, row_key))
+
+    return pd.DataFrame({
+        "term": np.repeat(term_vals, counts)[order],
+        "salt": np.repeat(pdf["salt"].to_numpy(np.int32), counts)[order],
+        "doc_id": doc_id[order],
+        "tf": tf[order],
+        "dl": dl[order],
+    })
+
+
+def merge_packs(packs: DataFrame, hot_salts: dict[str, int], avgdl: float,
+                cfg: IndexConfig) -> DataFrame:
+    """Shuffle packs by (term, salt) and merge into final posting blocks.
+
+    ``hot_salts``: term → number of salt buckets (1 for normal terms).
+    A pack's salt = part_id % s(term), so a hot term's merge work spreads
+    across s tasks instead of one. Groups are processed by a mapInPandas
+    with carry (grouped-map applyInPandas would materialize one pandas
+    frame per group — collapses under millions of single-pack terms).
+    """
+    spark = packs.sparkSession
+    hot_items = list(hot_salts.items())
+    if hot_items:
+        hot_df = F.broadcast(spark.createDataFrame(
+            hot_items, "term string, n_salts int"))
+        salted = (packs.join(hot_df, "term", "left")
+                  .withColumn("salt",
+                              F.when(F.col("n_salts").isNotNull(),
+                                     F.pmod(F.col("part_id"),
+                                            F.col("n_salts")))
+                              .otherwise(F.lit(0)).cast("int"))
+                  .drop("n_salts"))
+    else:
+        salted = packs.withColumn("salt", F.lit(0).cast("int"))
 
     num_parts = cfg.shuffle_partitions or int(
-        doc_terms_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        spark.conf.get("spark.sql.shuffle.partitions"))
     arranged = (salted.repartition(num_parts, "term", "salt")
-                .sortWithinPartitions("term", "salt", "doc_id"))
+                .sortWithinPartitions("term", "salt", "doc_id_first"))
 
     k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
-        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
         carry: pd.DataFrame | None = None
         for pdf in batches:
             if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            last_term = pdf["term"].iloc[-1]
-            last_salt = pdf["salt"].iloc[-1]
-            tail = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["salt"].iloc[-1]
+            tail = (pdf["term"] == last_t) & (pdf["salt"] == last_s)
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
-                yield _encode_blocks(body, k1, b, avgdl, block_size, part_id)
+                yield _encode_blocks(_decode_packs(body), k1, b, avgdl,
+                                     block_size, part_id)
         if carry is not None and len(carry):
-            yield _encode_blocks(carry.reset_index(drop=True), k1, b, avgdl,
-                                 block_size, part_id)
+            yield _encode_blocks(_decode_packs(carry.reset_index(drop=True)),
+                                 k1, b, avgdl, block_size, part_id)
 
-    return arranged.mapInPandas(encode, schema=POSTINGS_SCHEMA)
+    return arranged.mapInPandas(merge, schema=POSTINGS_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -302,50 +400,42 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
 
     src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(content_col).alias("content"))
-    # Input parallelism guard: a source packed into few files (or one) would
-    # serialize S1's tokenization; spread it across the cluster. At real
-    # scale the source already has thousands of splits and this repartition
-    # is a no-op-ish round-robin of similar cost to the read itself.
+    # Input parallelism guard: a source packed into few files would
+    # serialize S1/S3; spread it. At real scale the source has thousands of
+    # splits and this is skipped.
     n_input = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
     if src.rdd.getNumPartitions() < n_input:
         src = src.repartition(n_input, "doc_id")
 
-    # S1 — doc_terms (unsorted: downstream consumers aggregate or
-    # repartition anyway, so a per-partition sort here is pure overhead)
-    dt_path = stage("doc_terms", lambda out: tables.write_table(
-        doc_terms(src), out))
-    dt = tables.read_table(spark, dt_path)
+    # S1 — packed postings (map-side; one pass over content; the resumable
+    # bulk checkpoint)
+    pk_path = stage("packed", lambda out: tables.write_table(
+        build_packs(src, cfg, content_col="content"), out))
+    packs = tables.read_table(spark, pk_path)
 
-    # S2 — doc_stats (dl from S1; docs absent from S1 have dl=0 but still
-    # count toward N/avgdl, matching the oracle's N = count(*))
+    # S2 — global stats from pack metadata: N = all docs (zero-token docs
+    # included, matching the oracle), total tokens = Σ pack.sum_tf, so
+    # avgdl = total/N exactly. No second pass over content.
     def s2(out: Path) -> None:
-        dl_agg = dt.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-        doc_stats = (src.select("doc_id")
-                     .join(dl_agg, "doc_id", "left")
-                     .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0))))
-        tables.write_table(doc_stats, out, sort_cols=["doc_id"])
-    ds_path = stage("doc_stats", s2)
-    doc_stats = tables.read_table(spark, ds_path)
-
-    # S3 — global stats (two scalars; JSON commit, no parquet job)
-    def s3(out: Path) -> None:
-        row = doc_stats.agg(F.count("*").alias("N"),
-                            F.avg("dl").alias("avgdl")).collect()[0]
+        n = src.select("doc_id").count()
+        total = packs.agg(F.sum("sum_tf")).collect()[0][0] or 0
         out.mkdir(parents=True, exist_ok=True)
         (out / "_table_meta.json").write_text(json.dumps(
-            {"N": int(row["N"]), "avgdl": float(row["avgdl"] or 0.0),
-             "k1": cfg.k1, "b": cfg.b}))
+            {"N": int(n), "avgdl": (float(total) / n) if n else 0.0,
+             "total_tokens": int(total), "k1": cfg.k1, "b": cfg.b}))
         (out / tables.SUCCESS_MARKER).touch()
-    st_path = stage("stats", s3)
+    st_path = stage("stats", s2)
     stats_meta = tables.read_meta(st_path)
     n_docs, avgdl = stats_meta["N"], stats_meta["avgdl"]
     report.n_docs, report.avgdl = n_docs, avgdl
 
-    # S4 — dictionary (df, cf, idf). Map-side partial agg absorbs term skew.
+    # S3 — dictionary from pack metadata (rows: |terms|×|partitions|, tiny
+    # next to postings; partial agg absorbs the skew)
     def s4(out: Path) -> None:
-        dic = (dt.groupBy("term")
-               .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        dic = (packs.groupBy("term")
+               .agg(F.sum("doc_count").alias("df"),
+                    F.sum("sum_tf").alias("cf"))
                .withColumn("idf", F.log(
                    F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                    / (F.col("df") + 0.5))))
@@ -353,15 +443,23 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
     dic_path = stage("dictionary", s4)
     dictionary = tables.read_table(spark, dic_path)
 
-    # S5 — postings (the one real shuffle; skew-salted)
-    stage("postings", lambda out: tables.write_table(
-        build_postings(dt, dictionary, avgdl, cfg), out, sort_cols=["term"],
-        meta={"avgdl": avgdl, "N": n_docs, "k1": cfg.k1, "b": cfg.b,
-              "block_size": cfg.block_size,
-              "salt_df_threshold": cfg.salt_df_threshold,
-              "salt_range_docs": cfg.salt_range_docs}))
+    # S4 — postings (the one real shuffle — of PACKS, not posting rows)
+    def s5(out: Path) -> None:
+        hot = (dictionary.filter(F.col("df") > cfg.salt_df_threshold)
+               .select("term", "df").collect())
+        hot_salts = {r["term"]: max(2, int(np.ceil(
+            r["df"] / cfg.salt_range_docs))) for r in hot}
+        tables.write_table(
+            merge_packs(packs, hot_salts, avgdl, cfg), out,
+            sort_cols=["term"],
+            meta={"avgdl": avgdl, "N": n_docs, "k1": cfg.k1, "b": cfg.b,
+                  "block_size": cfg.block_size,
+                  "salt_df_threshold": cfg.salt_df_threshold,
+                  "salt_range_docs": cfg.salt_range_docs,
+                  "hot_terms": len(hot_salts)})
+    stage("postings", s5)
 
-    # S6 — lineage: per-build-partition provenance
+    # S5 — lineage: per-build-partition provenance
     def s6(out: Path) -> None:
         postings = tables.read_table(spark, index_dir / "postings")
         lin = (postings.groupBy("part_id")
