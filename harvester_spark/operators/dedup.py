@@ -123,8 +123,20 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
              .filter(F.col("doc_a") < F.col("doc_b"))
              .distinct())
     if jaccard_threshold is not None:
-        sh = docs.select(F.col(id_col).alias("doc_id"),
-                         shingles_expr(content_col, shingle_n).alias("shs"))
+        # the candidate DAG (signatures → bands → buckets) feeds three
+        # consumers below; without a cache Spark recomputes it per consumer
+        pairs = pairs.cache()
+        # compute shingles only for docs that appear in candidate pairs —
+        # the candidate set is tiny next to the corpus, so a semi-join
+        # before the (expensive) shingle expression saves a full pass
+        cand_ids = (pairs.select(F.col("doc_a").alias("cid"))
+                    .union(pairs.select(F.col("doc_b").alias("cid")))
+                    .distinct())
+        docs_cand = docs.join(F.broadcast(cand_ids),
+                              docs[id_col] == cand_ids["cid"], "left_semi")
+        sh = docs_cand.select(F.col(id_col).alias("doc_id"),
+                              shingles_expr(content_col, shingle_n).alias("shs"))
+        sh = sh.cache()
         pairs = (pairs
                  .join(sh.withColumnRenamed("doc_id", "doc_a")
                        .withColumnRenamed("shs", "shs_a"), "doc_a")
