@@ -66,14 +66,17 @@ def main() -> None:
 
     qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
 
+    from harvester_spark.operators.bm25 import open_index
+    idx = open_index(spark, idx_dir)
+
     def q_wand_common(s):
-        return query_topk_index(s, idx_dir, "batch", 10).collect()
+        return query_topk_index(s, idx, "batch", 10).collect()
 
     def q_wand_multi(s):
-        return query_topk_index(s, idx_dir, "query data join", 10).collect()
+        return query_topk_index(s, idx, "query data join", 10).collect()
 
     def q_wand_and(s):
-        return query_topk_index(s, idx_dir, "table scan", 10,
+        return query_topk_index(s, idx, "table scan", 10,
                                 mode="and").collect()
 
     def q_df_scorer(s):

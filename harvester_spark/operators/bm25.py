@@ -138,9 +138,72 @@ def _decode_block_rows(pdf: pd.DataFrame, idf_by_term: dict[str, float],
                          "score": np.concatenate(parts_out)})
 
 
-def query_topk_index(spark: SparkSession, index_dir: str | Path, query: str,
-                     k: int, *, mode: str = "or",
-                     prune: bool = True) -> DataFrame:
+class IndexHandle:
+    """An opened index: metadata + (optionally cached) dictionary and
+    postings DataFrames. Re-using a handle across queries removes the
+    per-query parquet re-scan — the engine's equivalent of Solr keeping its
+    searcher open (the reference re-queries one long-lived Solr,
+    harvester/fetcher/solr_fetcher.py:14)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str | Path,
+                 cache: bool = True, collect_dictionary_max: int = 2_000_000):
+        self.index_dir = Path(index_dir)
+        self.meta = tables.read_meta(self.index_dir / "postings")
+        self.dictionary = tables.read_table(spark,
+                                            self.index_dir / "dictionary")
+        ub_dir = self.index_dir / "term_ub"
+        if tables.is_committed(ub_dir):
+            self.dictionary = self.dictionary.join(
+                tables.read_table(spark, ub_dir), "term", "left")
+        self.postings = tables.read_table(spark, self.index_dir / "postings")
+        if cache:
+            # at 100 TB: cache the dictionary (small) always; postings
+            # caching is a working-set decision left to the deployment
+            self.dictionary = self.dictionary.cache()
+            self.postings = self.postings.cache()
+        # driver-side dictionary: kills the per-query lookup job when the
+        # vocabulary fits (a 10^9-term dictionary at real scale stays
+        # distributed — then lookups cost one tiny cached-scan job)
+        self.term_info: dict[str, dict] | None = None
+        n_terms = self.dictionary.count()
+        if n_terms <= collect_dictionary_max:
+            cols = self.dictionary.columns
+            self.term_info = {
+                r["term"]: {"df": r["df"], "idf": float(r["idf"]),
+                            "max_tfnorm": (float(r["max_tfnorm"])
+                                           if "max_tfnorm" in cols
+                                           and r["max_tfnorm"] is not None
+                                           else None)}
+                for r in self.dictionary.collect()}
+
+    def lookup(self, terms: list[str]) -> dict[str, dict]:
+        """term → {df, idf, max_tfnorm} for the present query terms."""
+        if self.term_info is not None:
+            return {t: self.term_info[t] for t in terms
+                    if t in self.term_info}
+        cols = self.dictionary.columns
+        rows = (self.dictionary.filter(F.col("term").isin(terms)).collect())
+        return {r["term"]: {"df": r["df"], "idf": float(r["idf"]),
+                            "max_tfnorm": (float(r["max_tfnorm"])
+                                           if "max_tfnorm" in cols
+                                           and r["max_tfnorm"] is not None
+                                           else None)}
+                for r in rows}
+
+    def unpersist(self) -> None:
+        self.dictionary.unpersist()
+        self.postings.unpersist()
+
+
+def open_index(spark: SparkSession, index_dir: str | Path,
+               cache: bool = True) -> IndexHandle:
+    return IndexHandle(spark, index_dir, cache=cache)
+
+
+def query_topk_index(spark: SparkSession,
+                     index_dir: str | Path | IndexHandle, query: str,
+                     k: int, *, mode: str = "or", prune: bool = True,
+                     prune_min_postings: int = 50_000) -> DataFrame:
     """Top-k BM25 over the prebuilt index with block-max pruning.
 
     Safety of the pruning (rank-identity guaranteed): θ is the k-th best
@@ -153,34 +216,41 @@ def query_topk_index(spark: SparkSession, index_dir: str | Path, query: str,
     bound argument does not transfer (conjunctive WAND is a later
     refinement).
     """
-    index_dir = Path(index_dir)
+    handle = (index_dir if isinstance(index_dir, IndexHandle)
+              else IndexHandle(spark, index_dir, cache=False))
     terms = tokenize_query(query)
-    meta = tables.read_meta(index_dir / "postings")
+    meta = handle.meta
     k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
 
     if not terms:
         return spark.createDataFrame([], SCORE_SCHEMA)
 
-    dic = (tables.read_table(spark, index_dir / "dictionary")
-           .filter(F.col("term").isin(terms))
-           .select("term", "df", "idf").collect())
-    idf_by_term = {r["term"]: float(r["idf"]) for r in dic}
+    info = handle.lookup(terms)
+    idf_by_term = {t: v["idf"] for t, v in info.items()}
     present = [t for t in terms if t in idf_by_term]
     if not present or (mode == "and" and len(present) < len(terms)):
         return spark.createDataFrame([], SCORE_SCHEMA)
 
-    postings = (tables.read_table(spark, index_dir / "postings")
-                .filter(F.col("term").isin(present)))  # pushed to parquet scan
+    postings = (handle.postings
+                .filter(F.col("term").isin(present)))  # pushed to scan
 
     idf_map = F.create_map(*[x for t in present
                              for x in (F.lit(t), F.lit(idf_by_term[t]))])
     blocks = postings.withColumn("ub", idf_map[F.col("term")]
                                  * F.col("block_max_tfnorm"))
 
-    if prune and mode == "or":
-        # per-term max UB (tiny: one row per query term)
-        per_term = {r["term"]: r["mx"] for r in
-                    blocks.groupBy("term").agg(F.max("ub").alias("mx")).collect()}
+    # pruning pays off only when there is real volume to skip
+    total_postings = sum(info[t]["df"] for t in present)
+    if prune and mode == "or" and total_postings > prune_min_postings:
+        # exact per-term max UB: precomputed at build time (term_ub stage);
+        # fall back to one aggregation job for pre-term_ub indexes
+        if all(info[t].get("max_tfnorm") is not None for t in present):
+            per_term = {t: idf_by_term[t] * info[t]["max_tfnorm"]
+                        for t in present}
+        else:
+            per_term = {r["term"]: r["mx"] for r in
+                        blocks.groupBy("term").agg(
+                            F.max("ub").alias("mx")).collect()}
         total_ub = sum(per_term.values())
         # θ: k-th best partial score from the top-UB blocks (driver decode
         # of a handful of rows)

@@ -459,7 +459,18 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
                   "hot_terms": len(hot_salts)})
     stage("postings", s5)
 
-    # S5 — lineage: per-build-partition provenance
+    # S5 — term_ub: exact per-term score upper bound (max block_max_tfnorm)
+    # folded into the dictionary side so the query path gets block-max
+    # pruning bounds without a per-query aggregation job
+    def s5b(out: Path) -> None:
+        postings = tables.read_table(spark, index_dir / "postings")
+        ub = postings.groupBy("term").agg(
+            F.max("block_max_tfnorm").alias("max_tfnorm"),
+            F.count("*").alias("n_blocks"))
+        tables.write_table(ub, out, sort_cols=["term"])
+    stage("term_ub", s5b)
+
+    # S6 — lineage: per-build-partition provenance
     def s6(out: Path) -> None:
         postings = tables.read_table(spark, index_dir / "postings")
         lin = (postings.groupBy("part_id")

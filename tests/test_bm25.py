@@ -40,7 +40,8 @@ def test_index_scorer_rank_identity(spark, index_dir, oracle, query, k):
 
 @pytest.mark.parametrize("query,k", QUERY_SET)
 def test_index_scorer_pruning_equals_exhaustive(spark, index_dir, query, k):
-    pruned = query_topk_index(spark, index_dir, query, k, prune=True).toPandas()
+    pruned = query_topk_index(spark, index_dir, query, k, prune=True,
+                              prune_min_postings=0).toPandas()
     full = query_topk_index(spark, index_dir, query, k, prune=False).toPandas()
     assert list(pruned["doc_id"]) == list(full["doc_id"])
     np.testing.assert_allclose(pruned["score"], full["score"], rtol=0)

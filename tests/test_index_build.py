@@ -115,9 +115,11 @@ def test_build_is_resumable(spark, corpus_df, tmp_path):
     d = tmp_path / "idx"
     r1 = build_index(spark, corpus_df, d, cfg=cfg)
     assert not any(s.get("skipped") for s in r1.stages)
-    # simulate a crash after S4: remove postings + lineage commits
+    # simulate a crash during the postings stage: it and all later stages
+    # never committed
     import shutil
     shutil.rmtree(d / "postings")
+    shutil.rmtree(d / "term_ub")
     shutil.rmtree(d / "lineage")
     r2 = build_index(spark, corpus_df, d, cfg=cfg)
     skipped = {s["stage"] for s in r2.stages if s.get("skipped")}
