@@ -17,8 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from harvester_spark.functions.text import (ark_extract, facet_decade,
-                                            fix_repeated_year, make_date,
+from harvester_spark.functions.text import (add_slash, ark_extract,
+                                            facet_decade, fix_repeated_year,
+                                            make_date, normalize_type,
                                             sort_title)
 from harvester_spark.functions.tokenize import doc_len_expr, tokens_expr
 from harvester_spark.operators.bm25 import (bm25_scores, query_topk_index,
@@ -321,6 +322,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_id", fix_repeated_year(raw).alias("fixed")))
     q["fix_repeated_years"] = fix_repeated_years
 
+    def normalize_types(spark, sf):
+        # DCMI-type normalization (solr_updater.py:388-418) over synthetic
+        # type strings derived deterministically from event ids
+        raw = (F.when(F.col("event_id") % 5 == 0, F.lit("Physical Object X"))
+               .when(F.col("event_id") % 5 == 1, F.lit("Moving Image"))
+               .when(F.col("event_id") % 5 == 2, F.lit("still image"))
+               .when(F.col("event_id") % 5 == 3, F.lit("TEXT record"))
+               .otherwise(F.lit("other thing")))
+        return (_events(spark, sf)
+                .select(normalize_type(raw).alias("norm_type"))
+                .groupBy("norm_type").agg(F.count("*").alias("n"))
+                .orderBy("norm_type"))
+    q["normalize_types"] = normalize_types
+
+    def add_slashes(spark, sf):
+        # trailing-slash normalization (solr_updater.py:476-478)
+        base = F.concat(F.lit("https://host/x/"), F.col("source"))
+        alt = F.when(F.col("doc_id") % 2 == 0,
+                     F.concat(base, F.lit("/"))).otherwise(base)
+        return (_docs(spark, sf).filter(F.col("doc_id") < 100)
+                .select("doc_id", add_slash(alt).alias("url")))
+    q["add_slashes"] = add_slashes
+
+    def required_fields(spark, sf):
+        # required-field predicate (solr_updater.py:445-473): docs must
+        # have a title-ish text, an id, and a well-formed URL; rejects
+        # tallied per reason like the reference's report (:841-871)
+        url = (F.when(F.col("doc_id") % 7 == 0, F.lit("notaurl"))
+               .otherwise(F.concat(F.lit("https://h.org/d/"),
+                                   F.col("doc_id").cast("string"))))
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.when(F.length("text") > 0, F.lit(None).cast("string"))
+             .otherwise(F.lit("missing_title")).alias("r1"),
+            F.when(url.rlike(r"^https?://[^/\s]+/.+"),
+                   F.lit(None).cast("string"))
+             .otherwise(F.lit("bad_url")).alias("r2"))
+        reason = F.coalesce(F.col("r1"), F.col("r2"), F.lit("ok"))
+        return (d.select(reason.alias("reason"))
+                .groupBy("reason").agg(F.count("*").alias("n"))
+                .orderBy("reason"))
+    q["required_fields"] = required_fields
+
+    def sort_collection_key(spark, sf):
+        # composite sort key 'sortname:name:url' (solr_updater.py:576-587)
+        return (_docs(spark, sf).filter(F.col("doc_id") < 100)
+                .select("doc_id", F.concat_ws(
+                    ":", sort_title(F.col("source")), F.col("source"),
+                    F.concat(F.lit("https://registry/"), F.col("source")))
+                    .alias("sort_key")))
+    q["sort_collection_key"] = sort_collection_key
+
     # ---- window / agg / pagination parity (SURVEY §2.5-2.7) ----
     def first_event_per_user(spark, sf):
         from pyspark.sql import Window
@@ -586,6 +639,68 @@ FROM raw
 SELECT event_id,
        CAST(user_id % 30 + 1980 AS VARCHAR) || ' and 2001-2002' AS fixed
 FROM events WHERE event_id < 300
+"""
+
+    o["normalize_types"] = """
+WITH raw AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN 'Physical Object X'
+              WHEN event_id % 5 = 1 THEN 'Moving Image'
+              WHEN event_id % 5 = 2 THEN 'still image'
+              WHEN event_id % 5 = 3 THEN 'TEXT record'
+              ELSE 'other thing' END AS t
+  FROM events),
+norm AS (
+  SELECT CASE WHEN lower(t) LIKE '%physical%' THEN 'physical object'
+              WHEN lower(t) LIKE '%moving%' THEN 'moving image'
+              WHEN lower(t) LIKE '%image%' THEN 'image'
+              WHEN lower(t) LIKE '%text%' THEN 'text'
+              WHEN lower(t) LIKE '%sound%' THEN 'sound'
+              WHEN lower(t) LIKE '%dataset%' THEN 'dataset'
+              ELSE lower(t) END AS norm_type
+  FROM raw)
+SELECT norm_type, count(*) AS n FROM norm GROUP BY norm_type ORDER BY norm_type
+"""
+
+    o["add_slashes"] = """
+WITH raw AS (
+  SELECT doc_id,
+         'https://host/x/' || source ||
+           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS u
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       CASE WHEN u LIKE '%/' THEN u ELSE u || '/' END AS url
+FROM raw
+"""
+
+    o["required_fields"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0 THEN NULL
+              ELSE 'missing_title' END AS r1,
+         CASE WHEN regexp_matches(
+                CASE WHEN doc_id % 7 = 0 THEN 'notaurl'
+                     ELSE 'https://h.org/d/' || CAST(doc_id AS VARCHAR) END,
+                '^https?://[^/\\s]+/.+') THEN NULL
+              ELSE 'bad_url' END AS r2
+  FROM documents)
+SELECT coalesce(r1, r2, 'ok') AS reason, count(*) AS n
+FROM d GROUP BY 1 ORDER BY reason
+"""
+
+    o["sort_collection_key"] = r"""
+WITH s AS (
+  SELECT doc_id, source,
+         regexp_replace(
+           trim(regexp_replace(
+             regexp_replace(lower(source), '[^0-9a-z\s]', '', 'g'),
+             '\s+', ' ', 'g')),
+           '^(the|a|an) ', '') AS k
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       concat_ws(':',
+                 CASE WHEN k = '' THEN '~title unknown' ELSE k END,
+                 source, 'https://registry/' || source) AS sort_key
+FROM s
 """
 
     o["first_event_per_user"] = """
