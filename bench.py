@@ -68,6 +68,7 @@ def main() -> None:
 
     from harvester_spark.operators.bm25 import open_index
     idx = open_index(spark, idx_dir)
+    idx.topk_local("query data join", 10)  # warm the serving cache
 
     def q_wand_common(s):
         return query_topk_index(s, idx, "batch", 10).collect()
@@ -78,6 +79,12 @@ def main() -> None:
     def q_wand_and(s):
         return query_topk_index(s, idx, "table scan", 10,
                                 mode="and").collect()
+
+    def q_local_serving(s):
+        # warm interactive path (Solr-latency analogue): 20 queries
+        for _ in range(20):
+            idx.topk_local("query data join", 10)
+        return None
 
     def q_df_scorer(s):
         return query_topk_dataframe(docs, "query data join", 10,
@@ -108,6 +115,7 @@ def main() -> None:
         "bm25_wand_common": q_wand_common,
         "bm25_wand_multi": q_wand_multi,
         "bm25_wand_and": q_wand_and,
+        "bm25_local_20q": q_local_serving,
         "bm25_dataframe": q_df_scorer,
         "minhash_lsh_dedup": q_minhash,
         "simhash_dedup": q_simhash,

@@ -194,6 +194,69 @@ class IndexHandle:
         self.dictionary.unpersist()
         self.postings.unpersist()
 
+    # -- interactive serving path ------------------------------------------
+    # The reference serves queries from a long-lived Solr at ~ms latency;
+    # Spark's job model floors any distributed query at ~100s of ms. For
+    # interactive use, a query node pulls the (compressed) postings of the
+    # query's terms once — a pushed-down scan — and scores in-process.
+
+    def _term_postings(self, term: str):
+        if not hasattr(self, "_term_cache"):
+            self._term_cache: dict[str, tuple] = {}
+        if term not in self._term_cache:
+            from harvester_spark.operators.codec import (decode_doc_ids,
+                                                         varint_decode)
+            rows = (self.postings.filter(F.col("term") == term)
+                    .select("doc_id_first", "doc_count", "deltas", "tfs",
+                            "dls").collect())
+            ids_l, tf_l, dl_l = [], [], []
+            for r in rows:
+                ids_l.append(decode_doc_ids(int(r["doc_id_first"]),
+                                            bytes(r["deltas"]),
+                                            int(r["doc_count"])))
+                tf_l.append(varint_decode(bytes(r["tfs"])))
+                dl_l.append(varint_decode(bytes(r["dls"])))
+            if ids_l:
+                self._term_cache[term] = (
+                    np.concatenate(ids_l),
+                    np.concatenate(tf_l).astype(np.float64),
+                    np.concatenate(dl_l).astype(np.float64))
+            else:
+                self._term_cache[term] = (np.empty(0, np.int64),
+                                          np.empty(0), np.empty(0))
+        return self._term_cache[term]
+
+    def topk_local(self, query: str, k: int, *, mode: str = "or") -> pd.DataFrame:
+        """ms-latency top-k served driver-side from cached term postings.
+
+        Rank-identical to the distributed path (same float64 formula, same
+        tie rule). Intended for interactive serving of moderate-df terms;
+        a pathological term's postings (~GBs at 10^12 docs) belong on the
+        distributed path instead."""
+        k1, b, avgdl = self.meta["k1"], self.meta["b"], self.meta["avgdl"]
+        terms = tokenize_query(query)
+        info = self.lookup(terms)
+        present = [t for t in terms if t in info]
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        all_ids, all_parts = [], []
+        for t in present:
+            ids, tf, dl = self._term_postings(t)
+            tfnorm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            all_ids.append(ids)
+            all_parts.append(info[t]["idf"] * tfnorm)
+        ids = np.concatenate(all_ids)
+        parts = np.concatenate(all_parts)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.bincount(inv, weights=parts)
+        if mode == "and":
+            nt = np.bincount(inv)
+            keep = nt == len(present)
+            uniq, scores = uniq[keep], scores[keep]
+        order = np.lexsort((uniq, -scores))[:k]
+        return pd.DataFrame({"doc_id": uniq[order], "score": scores[order]})
+
 
 def open_index(spark: SparkSession, index_dir: str | Path,
                cache: bool = True) -> IndexHandle:

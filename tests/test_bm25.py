@@ -47,6 +47,30 @@ def test_index_scorer_pruning_equals_exhaustive(spark, index_dir, query, k):
     np.testing.assert_allclose(pruned["score"], full["score"], rtol=0)
 
 
+@pytest.mark.parametrize("query,k", QUERY_SET)
+def test_local_serving_rank_identity(spark, index_dir, oracle, query, k):
+    """Driver-side serving path must match the oracle exactly too."""
+    from harvester_spark.operators.bm25 import open_index
+    if not hasattr(test_local_serving_rank_identity, "_handle"):
+        test_local_serving_rank_identity._handle = open_index(spark, index_dir)
+    h = test_local_serving_rank_identity._handle
+    got = h.topk_local(query, k)
+    want = oracle.topk(tokenize_query(query), k)
+    assert_rank_identical(got, want, f"local-serving {query!r}")
+
+
+def test_local_serving_is_fast_when_warm(spark, index_dir):
+    import time
+    from harvester_spark.operators.bm25 import open_index
+    h = open_index(spark, index_dir)
+    h.topk_local("import def", 10)  # cold: collects term postings
+    t0 = time.time()
+    for _ in range(20):
+        h.topk_local("import def", 10)
+    per_query = (time.time() - t0) / 20
+    assert per_query < 0.05, f"warm local serving took {per_query:.3f}s"
+
+
 def test_and_mode(spark, corpus_df, index_dir, oracle):
     q, k = "import ident_3", 10
     want = oracle.topk(tokenize_query(q), k, mode="and")

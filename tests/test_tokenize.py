@@ -51,6 +51,33 @@ def test_term_frequencies():
     assert d == {(0, "a"): 3, (0, "b"): 1, (0, "c"): 1, (1, "b"): 2}
 
 
+def test_three_engine_fuzz_parity(spark):
+    """Seeded random strings (ASCII + punctuation + whitespace + long
+    runs) must tokenize identically in Spark, pandas/pyarrow, and DuckDB."""
+    import random
+    rng = random.Random(42)
+    alphabet = ("abcXYZ019_ \t\n.,;:!?/\\()[]{}<>#@$%^&*-+='\"`~|"
+                + "é中")  # é, 中 — non-ASCII must split cleanly
+    samples = ["".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 120)))
+               for _ in range(300)]
+    want = tokenize_pandas(pd.Series(samples))
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i int, content string")
+    got_spark = {r["i"]: r["t"] for r in
+                 df.select("i", tokens_expr("content").alias("t")).collect()}
+    for i in range(len(samples)):
+        assert got_spark[i] == want.iloc[i], repr(samples[i])
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(samples)),
+                                    "content": samples}))
+    expr = TOKENIZE_SQL.format(col="content")
+    for i, toks in con.sql(f"select i, {expr} from t order by i").fetchall():
+        assert toks == want.iloc[i], repr(samples[i])
+
+
 def test_doc_len_expr(spark):
     df = spark.createDataFrame([("a b  c",), ("",)], "content string")
     assert [r[0] for r in df.select(doc_len_expr("content")).collect()] == [3, 0]
