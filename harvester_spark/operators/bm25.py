@@ -304,6 +304,23 @@ def query_topk_index(spark: SparkSession,
 
     # pruning pays off only when there is real volume to skip
     total_postings = sum(info[t]["df"] for t in present)
+    if (prune and mode == "and" and len(present) > 1
+            and total_postings > prune_min_postings):
+        # conjunctive pruning: every intersection doc lies inside the
+        # RAREST term's posting-block ranges, so other terms' blocks whose
+        # [doc_id_first, doc_id_last] span misses all of those ranges can
+        # never contribute. Exact — no threshold needed.
+        rarest = min(present, key=lambda t: info[t]["df"])
+        ranges = (blocks.filter(F.col("term") == rarest)
+                  .select(F.col("doc_id_first").alias("lo"),
+                          F.col("doc_id_last").alias("hi")))
+        rare_blocks = blocks.filter(F.col("term") == rarest)
+        others = blocks.filter(F.col("term") != rarest).join(
+            F.broadcast(ranges),
+            (F.col("doc_id_last") >= F.col("lo"))
+            & (F.col("doc_id_first") <= F.col("hi")),
+            "left_semi")
+        blocks = rare_blocks.unionByName(others)
     if prune and mode == "or" and total_postings > prune_min_postings:
         # exact per-term max UB: precomputed at build time (term_ub stage);
         # fall back to one aggregation job for pre-term_ub indexes

@@ -80,6 +80,19 @@ def test_and_mode(spark, corpus_df, index_dir, oracle):
     assert_rank_identical(got_ix, want, "and index")
 
 
+@pytest.mark.parametrize("q", ["import ident_3", "def class return",
+                               "self import", "value data result"])
+def test_and_mode_conjunctive_pruning_exact(spark, index_dir, oracle, q):
+    """Rarest-term range pruning must stay exact (membership + scores)."""
+    want = oracle.topk(tokenize_query(q), 20, mode="and")
+    pruned = query_topk_index(spark, index_dir, q, 20, mode="and",
+                              prune=True, prune_min_postings=0).toPandas()
+    full = query_topk_index(spark, index_dir, q, 20, mode="and",
+                            prune=False).toPandas()
+    assert_rank_identical(pruned, want, f"and-pruned {q!r}")
+    assert list(pruned["doc_id"]) == list(full["doc_id"])
+
+
 def test_and_mode_absent_term_empty(spark, corpus_df, index_dir):
     q = "import zzz_absent_term"
     assert query_topk_dataframe(corpus_df, q, 5, mode="and").count() == 0
