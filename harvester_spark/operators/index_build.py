@@ -70,6 +70,11 @@ class IndexConfig:
     # target postings per salt bucket for hot terms
     salt_range_docs: int = 1_000_000
     shuffle_partitions: int | None = None
+    # postings merge runs as this many independently-committed shard
+    # groups (hash(term) % N): a killed build resumes at the first
+    # incomplete group, not the whole merge (north_rule term-shard resume).
+    # 1 = single job (right for small builds; at 100 TB pick ~#executors)
+    postings_shard_groups: int = 1
 
 
 PACKED_SCHEMA = StructType([
@@ -443,20 +448,42 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
     dic_path = stage("dictionary", s4)
     dictionary = tables.read_table(spark, dic_path)
 
-    # S4 — postings (the one real shuffle — of PACKS, not posting rows)
+    # S4 — postings (the one real shuffle — of PACKS, not posting rows).
+    # With postings_shard_groups > 1 each term-shard group is its own
+    # atomic commit: a killed merge resumes at the first incomplete group.
     def s5(out: Path) -> None:
         hot = (dictionary.filter(F.col("df") > cfg.salt_df_threshold)
                .select("term", "df").collect())
         hot_salts = {r["term"]: max(2, int(np.ceil(
             r["df"] / cfg.salt_range_docs))) for r in hot}
-        tables.write_table(
-            merge_packs(packs, hot_salts, avgdl, cfg), out,
-            sort_cols=["term"],
-            meta={"avgdl": avgdl, "N": n_docs, "k1": cfg.k1, "b": cfg.b,
-                  "block_size": cfg.block_size,
-                  "salt_df_threshold": cfg.salt_df_threshold,
-                  "salt_range_docs": cfg.salt_range_docs,
-                  "hot_terms": len(hot_salts)})
+        meta = {"avgdl": avgdl, "N": n_docs, "k1": cfg.k1, "b": cfg.b,
+                "block_size": cfg.block_size,
+                "salt_df_threshold": cfg.salt_df_threshold,
+                "salt_range_docs": cfg.salt_range_docs,
+                "hot_terms": len(hot_salts),
+                "shard_groups": cfg.postings_shard_groups}
+        groups = cfg.postings_shard_groups
+        if groups <= 1:
+            tables.write_table(merge_packs(packs, hot_salts, avgdl, cfg),
+                               out, sort_cols=["term"], meta=meta)
+            return
+        parts_dir = index_dir / "postings_parts"
+        for g in range(groups):
+            gdir = parts_dir / f"group={g}"
+            if tables.is_committed(gdir):
+                report.metric(f"postings.group{g}", skipped=True)
+                continue
+            t0 = time.time()
+            gpacks = packs.filter(
+                F.pmod(F.xxhash64("term"), F.lit(groups)) == g)
+            tables.write_table(merge_packs(gpacks, hot_salts, avgdl, cfg),
+                               gdir, sort_cols=["term"])
+            report.metric(f"postings.group{g}",
+                          seconds=round(time.time() - t0, 3))
+        # final commit: union view of the groups under the postings dir
+        union = spark.read.parquet(
+            *[str(parts_dir / f"group={g}") for g in range(groups)])
+        tables.write_table(union, out, sort_cols=["term"], meta=meta)
     stage("postings", s5)
 
     # S5 — term_ub: exact per-term score upper bound (max block_max_tfnorm)

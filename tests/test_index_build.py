@@ -129,6 +129,46 @@ def test_build_is_resumable(spark, corpus_df, tmp_path):
     assert (lin["status"] == "complete").all()
 
 
+def test_sharded_merge_resume(spark, corpus_df, tmp_path):
+    """Term-shard-group resume: kill after one group → restart completes
+    only the missing groups; final index identical to single-shot."""
+    import shutil
+    from harvester_spark.operators.index_build import IndexConfig, build_index
+    cfg = IndexConfig(salt_df_threshold=50, salt_range_docs=100,
+                      block_size=32, postings_shard_groups=3)
+    d = tmp_path / "sharded"
+    build_index(spark, corpus_df, d, cfg=cfg)
+    # simulate crash mid-merge: drop group 1 + everything after
+    shutil.rmtree(d / "postings_parts" / "group=1")
+    shutil.rmtree(d / "postings")
+    shutil.rmtree(d / "term_ub")
+    shutil.rmtree(d / "lineage")
+    r = build_index(spark, corpus_df, d, cfg=cfg)
+    done = {s["stage"]: s for s in r.stages}
+    assert done["postings.group0"].get("skipped")
+    assert done["postings.group2"].get("skipped")
+    assert "seconds" in done["postings.group1"]
+
+    # identical decoded content vs an unsharded build
+    d2 = tmp_path / "singleshot"
+    build_index(spark, corpus_df, d2,
+                cfg=IndexConfig(salt_df_threshold=50, salt_range_docs=100,
+                                block_size=32, postings_shard_groups=1))
+
+    def decoded(p):
+        post = tables.read_table(spark, p / "postings").toPandas()
+        out = {}
+        for r_ in post.itertuples():
+            ids = decode_doc_ids(r_.doc_id_first, bytes(r_.deltas),
+                                 r_.doc_count)
+            tfs = varint_decode(bytes(r_.tfs))
+            for i, t in zip(ids, tfs):
+                out.setdefault(r_.term, {})[int(i)] = int(t)
+        return out
+
+    assert decoded(d) == decoded(d2)
+
+
 def test_salted_equals_unsalted(spark, corpus_df, tmp_path):
     """Byte-level invariant: postings content identical with/without salting
     after normalizing block boundaries (decode-and-compare)."""

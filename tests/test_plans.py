@@ -18,6 +18,9 @@ def plan_of(df) -> str:
 
 
 def test_postings_term_filter_pushed_to_parquet(spark, index_dir):
+    # earlier tests may have cached this table (IndexHandle); drop caches so
+    # the plan shows the parquet scan, not InMemoryTableScan
+    spark.catalog.clearCache()
     post = tables.read_table(spark, index_dir / "postings")
     plan = plan_of(post.filter(F.col("term").isin(["import", "def"])))
     assert "PushedFilters" in plan
@@ -25,6 +28,7 @@ def test_postings_term_filter_pushed_to_parquet(spark, index_dir):
 
 
 def test_postings_column_pruning(spark, index_dir):
+    spark.catalog.clearCache()
     post = tables.read_table(spark, index_dir / "postings")
     plan = plan_of(post.filter(F.col("term") == "import")
                    .select("doc_id_first", "doc_count"))
@@ -34,6 +38,7 @@ def test_postings_column_pruning(spark, index_dir):
 
 
 def test_bm25_dataframe_scorer_plan(spark, corpus_df):
+    corpus_df.cache().count()  # restore cache dropped by clearCache above
     plan = plan_of(bm25_scores(corpus_df, "import ident_3"))
     # df-per-term join is tiny → broadcast, not sort-merge
     assert "BroadcastHashJoin" in plan
