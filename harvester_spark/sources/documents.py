@@ -1,0 +1,83 @@
+"""Document source/sink layer.
+
+The reference maintains ~17 paginated remote fetchers dispatched through a
+registry (harvester/fetcher/controller.py:38-58) — OAI resumption tokens,
+Solr cursorMark, SRW paging, keyset pagination, per-source page sizes
+(SURVEY §2.1). On Spark they all collapse to one declarative scan: task
+scheduling replaces pagination, resumption tokens become checkpoint state,
+and count-reconciliation becomes lineage counts. This module is that single
+scan plus the staging sinks the reference wrote (objset JSON pages,
+harvester/fetcher/controller.py:126-157).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_documents(spark: SparkSession, source: str, *,
+                   lang: str | None = None,
+                   repo: str | None = None) -> DataFrame:
+    """The one scan that replaces the fetcher family.
+
+    ``source``: a parquet path (contains '/') or an Iceberg/catalog table
+    name. Predicates given here land in the scan (partition pruning /
+    PushedFilters) — the declarative analogue of each fetcher's server-side
+    query parameter (solr_fetcher.py:40-45, nuxeo_fetcher.py:178-181).
+    """
+    df = (spark.read.parquet(source) if "/" in source
+          else spark.read.table(source))
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    if repo is not None:
+        df = df.filter(F.col("repo") == repo)
+    return df
+
+
+def keyset_page(df: DataFrame, *, order_col: str = "doc_id",
+                after: int | None = None, page_size: int = 100) -> DataFrame:
+    """Cursor (keyset) pagination — the PySolrFetcher cursorMark scan
+    (harvester/fetcher/solr_fetcher.py:29-78) and couchdb_pager
+    (harvester/couchdb_pager.py:1-42): deterministic order, resume strictly
+    after the last seen key, fixed page size."""
+    page = df
+    if after is not None:
+        page = page.filter(F.col(order_col) > after)
+    return page.orderBy(order_col).limit(page_size)
+
+
+def iterate_keyset(df: DataFrame, *, order_col: str = "doc_id",
+                   page_size: int = 100):
+    """Generator over keyset pages (driver-side cursor loop, like the
+    reference's fetcher __iter__ contract, harvester/fetcher/fetcher.py:9-24).
+    Each yield is a collected page; stops when a short page arrives."""
+    cursor = None
+    while True:
+        rows = keyset_page(df, order_col=order_col, after=cursor,
+                           page_size=page_size).collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < page_size:
+            return
+        cursor = rows[-1][order_col]
+
+
+def write_jsonl_pages(df: DataFrame, path: str, *,
+                      max_records_per_file: int = 1000) -> None:
+    """Staging sink: JSONL pages, the objset-page layout the reference
+    writes locally and to S3 (controller.py:126-157, key
+    ``data-fetched/{cid}/{ts}/page-{n}.jsonl``). File-size control replaces
+    the hand-rolled page counter."""
+    (df.write.mode("overwrite")
+     .option("maxRecordsPerFile", max_records_per_file)
+     .json(path))
+
+
+def scan_count_reconciliation(df: DataFrame, expected: int) -> dict:
+    """The fetched-vs-reported invariant several fetchers assert
+    (ucsf_xml_fetcher.py:9-68, ia_fetcher.py:41-48): returns counts and a
+    boolean instead of raising mid-scan; callers decide policy."""
+    got = df.count()
+    return {"expected": expected, "got": got, "ok": got == expected}

@@ -1,0 +1,59 @@
+import json
+
+from harvester_spark.plans.lineage import (build_status, lineage_summary,
+                                           read_lineage)
+from harvester_spark.sources.documents import (iterate_keyset, keyset_page,
+                                               read_documents,
+                                               scan_count_reconciliation,
+                                               write_jsonl_pages)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_documents_with_pushdown(spark):
+    df = read_documents(spark, f"{SF}/documents.parquet", lang="en")
+    assert df.count() > 0
+    assert set(r["lang"] for r in df.select("lang").distinct().collect()) == {"en"}
+
+
+def test_keyset_pagination_resumes_exactly(spark):
+    docs = read_documents(spark, f"{SF}/documents.parquet")
+    p1 = keyset_page(docs, page_size=50).collect()
+    p2 = keyset_page(docs, after=p1[-1]["doc_id"], page_size=50).collect()
+    ids = [r["doc_id"] for r in p1 + p2]
+    assert ids == sorted(ids) and len(set(ids)) == 100
+
+
+def test_iterate_keyset_covers_all_rows(spark):
+    docs = read_documents(spark, f"{SF}/documents.parquet").limit(130)
+    seen = [r["doc_id"] for page in iterate_keyset(docs, page_size=60)
+            for r in page]
+    assert len(seen) == 130 and seen == sorted(set(seen))
+
+
+def test_write_jsonl_pages(spark, tmp_path):
+    docs = read_documents(spark, f"{SF}/documents.parquet").limit(25)
+    out = tmp_path / "pages"
+    write_jsonl_pages(docs.select("doc_id", "lang"), str(out),
+                      max_records_per_file=10)
+    lines = []
+    for f in out.glob("*.json"):
+        lines += [json.loads(x) for x in f.read_text().splitlines()]
+    assert len(lines) == 25
+    assert {"doc_id", "lang"} <= set(lines[0])
+
+
+def test_scan_count_reconciliation(spark):
+    docs = read_documents(spark, f"{SF}/documents.parquet")
+    assert scan_count_reconciliation(docs, 500)["ok"]
+    assert not scan_count_reconciliation(docs, 99)["ok"]
+
+
+def test_build_status_and_lineage(spark, index_dir):
+    st = build_status(index_dir)
+    assert st["complete"] and st["resume_at"] is None
+    summ = lineage_summary(spark, index_dir)
+    assert summ["postings"] > 0 and summ["blocks"] > 0
+    assert summ["N"] == 400
+    lin = read_lineage(spark, index_dir)
+    assert lin.count() == summ["partitions"]
