@@ -279,8 +279,11 @@ def query_topk_index(spark: SparkSession,
     bound argument does not transfer (conjunctive WAND is a later
     refinement).
     """
+    # ad-hoc (path) calls: no caching, no driver-side dictionary collect —
+    # a filtered lookup job beats materializing the vocabulary once
     handle = (index_dir if isinstance(index_dir, IndexHandle)
-              else IndexHandle(spark, index_dir, cache=False))
+              else IndexHandle(spark, index_dir, cache=False,
+                               collect_dictionary_max=0))
     terms = tokenize_query(query)
     meta = handle.meta
     k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
