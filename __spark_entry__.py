@@ -148,13 +148,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_index_topk"] = bm25_index_topk
 
     def bm25_wand_topk(spark, sf):
-        # pruned WAND path (rows-only driver check; pytest proves
-        # pruned == exhaustive rank-identically)
+        # pruned WAND path. Pruning is exact on raw-score rank (pytest
+        # proves pruned == exhaustive), so the oracle is the same BM25 SQL;
+        # over-fetch raw top-200 then re-rank on rounded score so boundary
+        # rounding ties resolve identically in both engines.
         docs = _docs(spark, sf)
         d = tempfile.mkdtemp(prefix="hs_wand_") + "/idx"
         build_index(spark, docs, d, content_col="text",
                     cfg=IndexConfig(salt_df_threshold=200, salt_range_docs=256))
-        return query_topk_index(spark, d, "query data join", 10, prune=True)
+        scores = query_topk_index(spark, d, "query data join", 200,
+                                  prune=True)
+        return (scores.select("doc_id",
+                              _x10k(F.col("score")).alias("score_x10k"))
+                .orderBy(F.desc("score_x10k"), F.asc("doc_id")).limit(10))
     q["bm25_wand_topk"] = bm25_wand_topk
 
     # ---- exact lookup + delete-by-query (solr_updater.py:793-817,929) ----
@@ -458,7 +464,7 @@ FROM documents
     o["term_stats"] = f"""
 WITH toks AS (SELECT doc_id, unnest({DOC_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 100
 """
 
@@ -467,7 +473,7 @@ ORDER BY df DESC, term ASC LIMIT 100
     o["bm25_topk_multi"] = _bm25_sql(["query", "data", "join"], 10)
     o["bm25_topk_and"] = _bm25_sql(["table", "scan"], 10, mode="and")
     o["bm25_index_topk"] = _bm25_sql(["query", "data", "join"], 10)
-    # bm25_wand_topk: rows-only (pruned ANN-style path; pytest-verified)
+    o["bm25_wand_topk"] = _bm25_sql(["query", "data", "join"], 10)
 
     o["doc_lookup"] = ("SELECT doc_id, lang, source, n_chars FROM documents "
                        "WHERE doc_id = 42")
@@ -492,10 +498,12 @@ SELECT doc_id,
 FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """
 
-    SHINGLES = (f"list_distinct(list_transform("
+    # zero-token docs → empty shingle set (parity with shingles_expr)
+    SHINGLES = (f"CASE WHEN len({DOC_TOKS}) = 0 THEN []::VARCHAR[] "
+                f"ELSE list_distinct(list_transform("
                 f"range(1, greatest(len({DOC_TOKS}) - 2, 1) + 1), "
                 f"i -> concat_ws(' ', {DOC_TOKS}[i], {DOC_TOKS}[i+1], "
-                f"{DOC_TOKS}[i+2])))")
+                f"{DOC_TOKS}[i+2]))) END")
     o["ngram_jaccard_probe"] = f"""
 WITH sh AS (SELECT doc_id, {SHINGLES} AS shs FROM documents),
 probe AS (SELECT shs AS shs_b FROM sh WHERE doc_id = 0)

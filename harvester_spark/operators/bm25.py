@@ -165,6 +165,8 @@ class IndexHandle:
         # vocabulary fits (a 10^9-term dictionary at real scale stays
         # distributed — then lookups cost one tiny cached-scan job)
         self.term_info: dict[str, dict] | None = None
+        if collect_dictionary_max <= 0:
+            return  # ad-hoc path: no vocabulary scan job at all
         n_terms = self.dictionary.count()
         if n_terms <= collect_dictionary_max:
             cols = self.dictionary.columns
@@ -266,7 +268,8 @@ def open_index(spark: SparkSession, index_dir: str | Path,
 def query_topk_index(spark: SparkSession,
                      index_dir: str | Path | IndexHandle, query: str,
                      k: int, *, mode: str = "or", prune: bool = True,
-                     prune_min_postings: int = 50_000) -> DataFrame:
+                     prune_min_postings: int = 50_000,
+                     exclude_ids: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 over the prebuilt index with block-max pruning.
 
     Safety of the pruning (rank-identity guaranteed): θ is the k-th best
@@ -360,6 +363,11 @@ def query_topk_index(spark: SparkSession,
                                         F.count("*").alias("nt"))
     if mode == "and":
         agg = agg.filter(F.col("nt") == len(present))
+    if exclude_ids is not None:
+        # excluded BEFORE the top-k cut: a post-limit filter would lose
+        # live docs ranked behind an excluded one inside the k window
+        agg = agg.join(F.broadcast(exclude_ids.select("doc_id")),
+                       "doc_id", "left_anti")
     return (agg.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))

@@ -58,12 +58,18 @@ def exact_duplicates(docs: DataFrame, *, content_col: str = "content",
 
 
 def shingles_expr(content_col: str, n: int = 3):
-    """n-gram token shingles as strings (space-joined), distinct per doc."""
+    """n-gram token shingles as strings (space-joined), distinct per doc.
+
+    Docs with 1..n-1 tokens get one short shingle (their whole text);
+    zero-token docs get an EMPTY array — giving them a synthetic empty
+    shingle would make every empty/punctuation-only doc a jaccard=1.0
+    near-dup of every other one."""
     toks = tokens_expr(content_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    # docs shorter than n tokens get one short shingle (their whole text)
-    return F.array_distinct(sh)
+    return F.when(F.size(toks) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(sh))
 
 
 def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
@@ -87,19 +93,38 @@ def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
                       .alias("sig"))
 
 
+def _bucket_drop_metrics(buckets_sized: DataFrame, max_bucket: int,
+                         key_cols: list[str]) -> DataFrame:
+    """One-row accounting of buckets dropped by the ``max_bucket`` guard.
+
+    No silent recall loss: every LSH path that caps bucket size can hand
+    the caller (dropped_buckets, dropped_doc_entries, max_dropped_size) so
+    "deduped" is never silently "mostly not deduped"."""
+    return (buckets_sized.filter(F.col("sz") > max_bucket)
+            .agg(F.count("*").alias("dropped_buckets"),
+                 F.coalesce(F.sum("sz"), F.lit(0)).cast("long")
+                 .alias("dropped_doc_entries"),
+                 F.coalesce(F.max("sz"), F.lit(0)).cast("long")
+                 .alias("max_dropped_size")))
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3, seed: int = 42,
                       max_bucket: int = 1000,
-                      jaccard_threshold: float | None = None) -> DataFrame:
+                      jaccard_threshold: float | None = None,
+                      with_metrics: bool = False):
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     bands=16 × rows=4 over 64 hashes → collision prob ≈ 1-(1-j^4)^16.
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard —
     they would generate O(bucket²) pairs; at 100 TB that is the difference
-    between a job and an explosion). If ``jaccard_threshold`` is set the
+    between a job and an explosion) but NOT silently: pass
+    ``with_metrics=True`` to also receive a one-row DataFrame counting
+    dropped buckets/doc-entries. If ``jaccard_threshold`` is set the
     candidates are exactly verified with true shingle-set Jaccard.
-    Returns (doc_a, doc_b [, jaccard]) with doc_a < doc_b.
+    Returns (doc_a, doc_b [, jaccard]) with doc_a < doc_b
+    [, metrics DataFrame].
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, content_col=content_col, id_col=id_col,
@@ -112,10 +137,11 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
         for i in range(bands)])
     banded = (sig.select("doc_id", F.posexplode(band_arr)
                          .alias("band", "band_hash")))
-    buckets = (banded.groupBy("band", "band_hash")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
-                    F.count("*").alias("sz"))
-               .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)))
+    sized = (banded.groupBy("band", "band_hash")
+             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
+                  F.count("*").alias("sz")))
+    metrics = _bucket_drop_metrics(sized, max_bucket, ["band", "band_hash"])
+    buckets = sized.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
     # pair generation within bucket: explode × explode with a < b
     pairs = (buckets
              .select(F.explode("ids").alias("doc_a"), F.col("ids"))
@@ -147,6 +173,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
                              / F.size(F.array_union("shs_a", "shs_b")))
                  .filter(F.col("jaccard") >= jaccard_threshold)
                  .select("doc_a", "doc_b", "jaccard"))
+    if with_metrics:
+        return pairs, metrics
     return pairs
 
 
@@ -172,23 +200,93 @@ def simhash(docs: DataFrame, *, content_col: str = "content",
     return fp
 
 
+def _simhash_chunk_plan(max_hamming: int, n_docs: int,
+                        target_bucket: int) -> int:
+    """Pick the chunk count C for Manku-style blocking.
+
+    64 bits split into C chunks; any fingerprint pair with hamming ≤ k
+    differs in ≤ k chunks, so it agrees on SOME (C-k)-chunk subset — we
+    block on every subset (C choose k tables, 100% candidate recall). The
+    block key carries ~64·(C-k)/C bits; pick the smallest C whose keyspace
+    keeps the AVERAGE bucket under target_bucket with 4× headroom — this is
+    what makes the scheme corpus-size-aware: a fixed 16-bit chunk key caps
+    the keyspace at 65,536 buckets and silently drops everything at
+    ≫10^8 docs (Manku, Jain & Das Sarma, WWW'07 §3)."""
+    from math import comb
+
+    k = max_hamming
+    c = k + 1  # one-chunk key: the minimum legal split
+    while True:
+        key_bits = sum((64 // c + (1 if i < 64 % c else 0))
+                       for i in range(c - k))
+        enough = ((1 << min(key_bits, 62))
+                  >= 4 * max(n_docs, 1) // max(target_bucket, 1))
+        # growing C costs comb(C, k) tables (each an exploded copy of the
+        # fingerprints) — stop at 64 tables / 16 chunks even if the
+        # keyspace heuristic still wants more
+        if enough or comb(c + 1, k) > 64 or c >= 16:
+            return c
+        c += 1
+
+
 def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       chunks: int = 4, max_bucket: int = 1000) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of ``chunks`` 16-bit
-    chunks (pigeonhole: hamming ≤ chunks-1 guarantees a shared chunk),
-    verified by exact popcount. Returns (doc_a, doc_b, hamming)."""
+                       chunks: int | None = None, n_docs: int | None = None,
+                       target_bucket: int = 512,
+                       max_bucket: int = 100_000,
+                       with_metrics: bool = False):
+    """Near-dup pairs by SimHash, Manku-style multi-table blocking.
+
+    64 fingerprint bits split into C chunks; one blocking table per
+    (C-k)-chunk subset, keyed on those chunks' concatenated bits. Pigeonhole
+    is exact: hamming ≤ k ⇒ the ≤k differing bits occupy ≤k chunks ⇒ some
+    table's key chunks are all equal ⇒ the pair shares a bucket. Candidates
+    are verified with exact popcount, so recall is 100% up to the
+    ``max_bucket`` guard — whose drops are REPORTED via ``with_metrics``,
+    never silent. C auto-scales with corpus size (``n_docs``; counted if
+    not given) so key keyspace ≫ n_docs/target_bucket — the fix for fixed
+    16-bit chunks collapsing at ≫10^8 docs.
+    Returns (doc_a, doc_b, hamming) [, metrics DataFrame].
+    """
+    import itertools
+
+    k = max_hamming
+    if chunks is None:
+        if n_docs is None:
+            n_docs = docs.count()
+        chunks = _simhash_chunk_plan(k, n_docs, target_bucket)
+    if chunks <= k:
+        raise ValueError(f"chunks={chunks} must exceed max_hamming={k}")
+
     fp = simhash(docs, content_col=content_col, id_col=id_col)
-    chunk_bits = 64 // chunks
-    mask = (1 << chunk_bits) - 1
-    chunk_arr = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
-        .bitwiseAND(F.lit(mask)) for i in range(chunks)])
-    cand = (fp.select("doc_id", "simhash",
-                      F.posexplode(chunk_arr).alias("ci", "cv"))
-            .groupBy("ci", "cv")
-            .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"),
-                 F.count("*").alias("sz"))
+
+    sizes = [64 // chunks + (1 if i < 64 % chunks else 0)
+             for i in range(chunks)]
+    offs = [sum(sizes[:i]) for i in range(chunks)]
+
+    def chunk_val(i):
+        return (F.shiftrightunsigned(F.col("simhash"), offs[i])
+                .bitwiseAND(F.lit((1 << sizes[i]) - 1)))
+
+    key_structs = []
+    for ci, combo in enumerate(itertools.combinations(range(chunks),
+                                                      chunks - k)):
+        acc = F.lit(0).cast("long")
+        shift = 0
+        for c in combo:
+            acc = acc + F.shiftleft(chunk_val(c), shift)
+            shift += sizes[c]  # ≤ 64 - k·(64//C) ≤ 56 bits total: no overflow
+        key_structs.append(F.struct(F.lit(ci).alias("ci"), acc.alias("cv")))
+
+    keyed = (fp.select("doc_id", "simhash",
+                       F.explode(F.array(*key_structs)).alias("kc"))
+             .select("doc_id", "simhash", F.col("kc.ci").alias("ci"),
+                     F.col("kc.cv").alias("cv")))
+    sized = (keyed.groupBy("ci", "cv")
+             .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"),
+                  F.count("*").alias("sz")))
+    metrics = _bucket_drop_metrics(sized, max_bucket, ["ci", "cv"])
+    cand = (sized
             .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
             .select(F.explode("xs").alias("a"), F.col("xs"))
             .select("a", F.explode("xs").alias("b"))
@@ -199,6 +297,8 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
                         F.col("b.simhash"))).alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+    if with_metrics:
+        return cand, metrics
     return cand
 
 

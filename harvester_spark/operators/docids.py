@@ -34,6 +34,12 @@ def assign_doc_ids(docs: DataFrame, key_cols: list[str] | None = None, *,
 
     ranged = (docs.repartitionByRange(num_partitions, *[F.col(c) for c in key_cols])
               .withColumn("__pid", F.spark_partition_id()))
+    # Two jobs read `ranged` (the count collect below + the final rank
+    # plan). Materialize it once: re-executing repartitionByRange re-samples
+    # range boundaries, so a non-deterministic upstream could land rows in
+    # different partitions per job → duplicate/non-dense ids. A lost block
+    # after localCheckpoint fails loudly instead of silently re-deriving.
+    ranged = ranged.localCheckpoint(eager=True)
     counts = {r["__pid"]: r["cnt"] for r in
               ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0

@@ -73,60 +73,135 @@ def bucket_ids(emb: DataFrame, planes: np.ndarray, *,
     return emb.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
-def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int, *,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 12, n_probe_bits: int = 2,
-                    seed: int = 42) -> DataFrame:
-    """ANN top-k: restrict exact scoring to vectors whose LSH bucket is
-    within ``n_probe_bits`` bit flips of the query's bucket (multi-probe),
-    then exact cosine on the candidates. At 100 TB the bucket column is a
-    partition key → partition pruning makes the probe a tiny scan."""
+def _probe_buckets(planes: np.ndarray, query_vec: list[float],
+                   n_probe_bits: int) -> list[int]:
+    """Query bucket + all buckets within ``n_probe_bits`` bit flips."""
     q = np.asarray(query_vec, dtype=np.float64)
-    planes = hyperplanes(len(q), n_planes, seed)
+    n_planes = planes.shape[0]
     qbits = ((planes @ q) > 0).astype(np.int64)
     qbucket = int((qbits << np.arange(n_planes)).sum())
-
-    # multi-probe: all buckets within hamming distance n_probe_bits
     probes = {qbucket}
     if n_probe_bits >= 1:
         probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
     if n_probe_bits >= 2:
         probes |= {qbucket ^ (1 << i) ^ (1 << j)
                    for i in range(n_planes) for j in range(i + 1, n_planes)}
+    return sorted(probes)
+
+
+def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 12, n_probe_bits: int = 2,
+                    seed: int = 42) -> DataFrame:
+    """ANN top-k over a raw embeddings DataFrame (one-shot: recomputes
+    bucket ids — fine for a single ad-hoc query). For repeated queries use
+    :func:`build_ann_index` once + :func:`query_ann_index`, which scans
+    only the probed bucket partitions instead of the full table."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    probes = _probe_buckets(planes, query_vec, n_probe_bits)
 
     buckets = bucket_ids(emb, planes, id_col=id_col, vec_col=vec_col)
-    cand_ids = (buckets.filter(F.col("bucket").isin(list(probes)))
+    cand_ids = (buckets.filter(F.col("bucket").isin(probes))
                 .select(F.col("vec_id").alias("__cand_id")))
     cand = emb.join(cand_ids.hint("broadcast"),
                     emb[id_col] == cand_ids["__cand_id"], "left_semi")
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
-def embedding_near_dup_pairs(emb: DataFrame, *, threshold: float = 0.95,
-                             id_col: str = "vec_id",
-                             vec_col: str = "embedding",
-                             n_planes: int = 12, seed: int = 42,
-                             max_bucket: int = 2000) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucket by hyperplane signs,
-    exact cosine within buckets only (candidate recall measured in tests).
-    Returns (id_a, id_b, cosine ≥ threshold)."""
+# ---------------------------------------------------------------------------
+# Persisted ANN index: bucket as a physical partition key
+# ---------------------------------------------------------------------------
+
+def build_ann_index(emb: DataFrame, out_dir, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_planes: int = 12,
+                    seed: int = 42) -> None:
+    """Materialize (vec_id, embedding, norm) PARTITIONED BY bucket.
+
+    The scale path for repeated ANN queries: bucketing is computed once at
+    build time; each query then reads only its probed bucket partitions
+    (Hive-style partition pruning on the ``bucket=N`` directories), so
+    per-query cost is O(candidates), independent of corpus size. Norms are
+    precomputed so query scoring is a dot product + one multiply."""
+    import json
+    from pathlib import Path
+
     sample = emb.select(vec_col).first()
     dim = len(sample[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = bucket_ids(emb, planes, id_col=id_col, vec_col=vec_col)
-    withb = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")) \
-               .join(b, F.col("vid") == b["vec_id"]).drop("vec_id")
-    grouped = (withb.groupBy("bucket")
-               .agg(F.collect_list(F.struct("vid", "v")).alias("xs"),
-                    F.count("*").alias("sz"))
-               .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket)))
-    pairs = (grouped.select(F.explode("xs").alias("a"), "xs")
-             .select("a", F.explode("xs").alias("b"))
-             .filter(F.col("a.vid") < F.col("b.vid")))
-    cos = (_dot(F.col("a.v"), F.col("b.v"))
-           / (_norm(F.col("a.v")) * _norm(F.col("b.v"))))
-    return (pairs.select(F.col("a.vid").alias("id_a"),
-                         F.col("b.vid").alias("id_b"),
-                         cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-            .distinct())
+    withb = (emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+             .join(b, "vec_id")
+             .withColumn("norm", _norm(F.col("embedding"))))
+    out = Path(out_dir)
+    (withb.write.mode("overwrite").partitionBy("bucket")
+     .parquet(str(out / "vectors")))
+    (out / "ann_meta.json").write_text(json.dumps(
+        {"n_planes": n_planes, "seed": seed, "dim": dim,
+         "planes": planes.tolist()}))
+
+
+def query_ann_index(spark, index_dir, query_vec: list[float], k: int, *,
+                    n_probe_bits: int = 2) -> DataFrame:
+    """ANN top-k against a :func:`build_ann_index` layout.
+
+    The ``bucket`` filter prunes to the probed partitions at planning time
+    — verified in tests via PartitionFilters in the explain output."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(index_dir) / "ann_meta.json").read_text())
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    probes = _probe_buckets(planes, query_vec, n_probe_bits)
+    vecs = (spark.read.parquet(str(Path(index_dir) / "vectors"))
+            .filter(F.col("bucket").isin(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(query_vec))
+    cos = _dot(F.col("embedding"), q) / (F.col("norm") * F.lit(qn))
+    return (vecs.select("vec_id", cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, *, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = 12, seed: int = 42,
+                             max_bucket: int = 2000,
+                             with_metrics: bool = False):
+    """Embedding-cosine near-duplicate pairs: bucket by hyperplane signs,
+    exact cosine within buckets only (candidate recall measured in tests).
+
+    Pairs come from a bucket-keyed SELF-JOIN (not collect_list of full
+    vectors — a 2000 × dim × 8 B array per bucket row is a memory bomb at
+    wide dims). Oversized buckets are excluded from the join and ACCOUNTED:
+    ``with_metrics=True`` also returns the dropped-bucket counts.
+    Returns (id_a, id_b, cosine ≥ threshold) [, metrics DataFrame]."""
+    from harvester_spark.operators.dedup import _bucket_drop_metrics
+
+    sample = emb.select(vec_col).first()
+    dim = len(sample[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    b = bucket_ids(emb, planes, id_col=id_col, vec_col=vec_col)
+    withb = (emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+             .join(b, F.col("vid") == b["vec_id"]).drop("vec_id")
+             .withColumn("nrm", _norm(F.col("v"))))
+    sized = b.groupBy("bucket").agg(F.count("*").alias("sz"))
+    metrics = _bucket_drop_metrics(sized, max_bucket, ["bucket"])
+    keep = (sized.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+            .select("bucket"))
+    joinable = withb.join(F.broadcast(keep), "bucket")
+    a = joinable.select(F.col("bucket"), F.col("vid").alias("id_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    bb = joinable.select(F.col("bucket"), F.col("vid").alias("id_b"),
+                         F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(bb, ["bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     (_dot(F.col("va"), F.col("vb"))
+                      / (F.col("na") * F.col("nb"))).alias("cosine"))
+             .filter(F.col("cosine") >= threshold)
+             .distinct())
+    if with_metrics:
+        return pairs, metrics
+    return pairs

@@ -7,8 +7,12 @@ The reference consumes a CouchDB ``_changes`` feed with a persisted
 equivalent:
 
 - a **delta-index** layout: ``root/base`` plus ``root/delta_NNNNN`` index
-  dirs and a ``root/tombstones`` table (delete-by-query analogue,
-  solr_updater.py:793-817);
+  dirs and append-only ``root/tombstones/seq=NNNNNNNN`` segments
+  (delete-by-query analogue, solr_updater.py:793-817). Each CDC batch
+  writes ONLY its own tombstone segment — O(batch) per batch, not
+  O(total deletes) — and each segment is an independent atomic commit, so
+  a crash can never lose previously-committed tombstones (the swap-rename
+  failure mode of a single rewritten table does not exist here);
 - :func:`apply_changes` — one batch of ``(doc_id, deleted, content)`` change
   events → new delta index + tombstones + advanced ``last_seq`` checkpoint;
 - :func:`query_topk_incremental` — queries the union of base+deltas minus
@@ -54,6 +58,30 @@ def _delta_dirs(root: Path) -> list[Path]:
         d / "postings"))
 
 
+def _tombstone_segments(root: Path) -> list[tuple[Path, int]]:
+    """Committed tombstone segment dirs → [(path, seq)]."""
+    tdir = root / "tombstones"
+    if not tdir.exists():
+        return []
+    out = []
+    for d in sorted(tdir.glob("seq=*")):
+        if tables.is_committed(d):
+            out.append((d, int(d.name.split("=")[1])))
+    return out
+
+
+def tombstoned_ids(spark: SparkSession, root: str | Path,
+                   after_seq: int = -1) -> DataFrame | None:
+    """doc_ids tombstoned at any seq > ``after_seq`` (None if no segments).
+
+    Reads only the relevant segments; duplicates across segments are fine
+    for the anti-join consumer (no dedup shuffle needed)."""
+    segs = [p for p, s in _tombstone_segments(Path(root)) if s > after_seq]
+    if not segs:
+        return None
+    return spark.read.parquet(*[str(p) for p in segs]).select("doc_id")
+
+
 def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
                   seq: int, *, content_col: str = "content",
                   cfg: IndexConfig | None = None) -> None:
@@ -63,6 +91,10 @@ def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
     (the reference's delete-then-add at solr_updater.py:914-947).
     Idempotent per ``seq``: re-applying an already-recorded seq is a no-op
     (the at-least-once + idempotent-upsert contract of the reference feed).
+    Cost is O(batch): the batch's tombstones land in their own append-only
+    segment (``tombstones/seq=NNNNNNNN``) — previously committed segments
+    are never touched, so there is no swap window where a crash could lose
+    them. Segments merge away only at :func:`compact`.
     """
     root = Path(root)
     if seq <= last_seq(root):
@@ -70,37 +102,23 @@ def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
     delta_dir = root / f"delta_{seq:08d}"
 
     # every changed doc id is tombstoned out of older segments
-    tomb_new = changes.select(F.col("doc_id").cast("long"),
-                              F.lit(seq).alias("seq"))
-    tomb_path = root / "tombstones"
-    if tables.is_committed(tomb_path):
-        old = tables.read_table(spark, tomb_path)
-        tomb_new = old.unionByName(tomb_new).groupBy("doc_id").agg(
-            F.max("seq").alias("seq"))
-    # write via temp-and-rename (write_table) — crash-safe
-    tables.write_table(tomb_new, root / "tombstones.__next__")
+    tomb_new = changes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tables.write_table(tomb_new, root / "tombstones" / f"seq={seq:08d}")
     upserts = changes.filter(~F.col("deleted")).select("doc_id", content_col)
     if upserts.limit(1).count() > 0:
         build_index(spark, upserts, delta_dir, content_col=content_col,
                     cfg=cfg)
-    # commit point: tombstones swap + last_seq advance
-    import shutil
-    if tomb_path.exists():
-        shutil.rmtree(tomb_path)
-    (root / "tombstones.__next__").rename(tomb_path)
+    # commit point: last_seq advance (a crash before this point re-applies
+    # the batch; every stage above overwrites idempotently)
     (root / "last_seq").write_text(str(seq))
 
 
 def live_doc_filter(spark: SparkSession, root: str | Path,
                     scores: DataFrame, segment_seq: int) -> DataFrame:
     """Drop docs tombstoned AFTER the segment that produced them."""
-    root = Path(root)
-    tomb_path = root / "tombstones"
-    if not tables.is_committed(tomb_path):
+    tomb = tombstoned_ids(spark, root, after_seq=segment_seq)
+    if tomb is None:
         return scores
-    tomb = (tables.read_table(spark, tomb_path)
-            .filter(F.col("seq") > segment_seq)
-            .select("doc_id"))
     return scores.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
@@ -110,7 +128,10 @@ def query_topk_incremental(spark: SparkSession, root: str | Path, query: str,
 
     Each segment is scored with its own stats (Lucene per-segment scoring
     convention); the newest version of a doc wins by construction because
-    older versions are tombstoned at upsert time.
+    older versions are tombstoned at upsert time. The tombstone anti-join
+    is pushed INSIDE each segment's scoring, before its top-k cut — a
+    post-limit filter would silently lose live docs ranked below a
+    tombstoned one inside the segment's top-k window.
     """
     from harvester_spark.operators.bm25 import query_topk_index
     root = Path(root)
@@ -120,9 +141,9 @@ def query_topk_incremental(spark: SparkSession, root: str | Path, query: str,
     for seg, seq in segs:
         if not tables.is_committed(seg / "postings"):
             continue
-        scores = query_topk_index(spark, seg, query, k, mode=mode,
-                                  prune=False)
-        parts.append(live_doc_filter(spark, root, scores, seq))
+        excl = tombstoned_ids(spark, root, after_seq=seq)
+        parts.append(query_topk_index(spark, seg, query, k, mode=mode,
+                                      prune=False, exclude_ids=excl))
     if not parts:
         return spark.createDataFrame([], SCORE_SCHEMA)
     allscores = parts[0]

@@ -87,3 +87,69 @@ def test_ngram_jaccard(dup_docs, spark):
     assert out[1] == 1.0
     assert out[4] == 0.0
     assert 0 < out[2] < 1.0
+
+
+def test_empty_docs_not_near_dups(spark):
+    """Zero-token docs must produce NO shingles (an empty-string shingle
+    would make all punctuation-only docs jaccard-1.0 dups of each other)."""
+    from harvester_spark.operators.dedup import shingles_expr
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "..!!"), (2, "real content words here")],
+        "doc_id long, content string")
+    sh = {r["doc_id"]: r["s"] for r in
+          docs.select("doc_id", shingles_expr("content").alias("s")).collect()}
+    assert sh[0] == [] and sh[1] == []
+    assert len(sh[2]) > 0
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    assert pairs == []
+
+
+def test_minhash_lsh_drop_metrics(spark):
+    """Oversized buckets are dropped but ACCOUNTED, never silent."""
+    same = "import numpy def main return value data result"
+    docs = spark.createDataFrame([(i, same) for i in range(8)],
+                                 "doc_id long, content string")
+    pairs, metrics = minhash_lsh_pairs(docs, max_bucket=4, with_metrics=True)
+    m = metrics.collect()[0]
+    assert m["dropped_buckets"] > 0
+    assert m["dropped_doc_entries"] >= 8
+    assert m["max_dropped_size"] == 8
+    assert pairs.count() == 0  # every bucket oversized -> all dropped
+    # with a big enough cap nothing is dropped and all pairs appear
+    pairs2, metrics2 = minhash_lsh_pairs(docs, max_bucket=100,
+                                         with_metrics=True)
+    assert metrics2.collect()[0]["dropped_buckets"] == 0
+    assert pairs2.count() == 8 * 7 // 2
+
+
+def test_simhash_manku_blocking_recall(spark):
+    """Multi-table blocking (C>k+1) must recover every planted near-dup
+    pair at a corpus 10x the unit-test scale, with zero silent drops."""
+    from harvester_spark.fixtures.corpus import make_corpus
+    base = make_corpus(60, seed=9)
+    rows = [(i, c) for i, c in enumerate(base["content"])]
+    # plant 5 near-dups: copy doc i with one token appended
+    for i in range(5):
+        rows.append((1000 + i, base["content"].iloc[i] + " zz_tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    pairs, metrics = simhash_near_pairs(docs, max_hamming=6, chunks=8,
+                                        with_metrics=True)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for i in range(5):
+        ham = bin(fp[i] ^ fp[1000 + i]).count("1")
+        if ham <= 6:  # every true near-dup within the radius is found
+            assert (i, 1000 + i) in got, (i, ham)
+    assert metrics.collect()[0]["dropped_buckets"] == 0
+
+
+def test_simhash_chunk_plan_scales():
+    """Blocking must be corpus-size-aware: bigger corpora get more blocking
+    bits (the fixed 16-bit scheme collapsed at >1e8 docs)."""
+    from harvester_spark.operators.dedup import _simhash_chunk_plan
+    from math import comb
+    small = _simhash_chunk_plan(3, 10_000, 512)
+    huge = _simhash_chunk_plan(3, 10**12, 512)
+    assert small == 4            # one 16-bit chunk key is plenty
+    assert huge >= 6             # >=30-bit keys at 1e12 docs
+    assert comb(huge, 3) <= 64   # table count stays bounded

@@ -103,3 +103,60 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got.get((0, "click")) == 2
     assert got.get((1, "click")) == 3
     assert got.get((2, "click")) == 1
+
+
+def test_tombstone_filter_before_topk(spark, base_docs, tmp_path):
+    """Regression: a doc tombstoned out of a segment's raw top-k must not
+    shadow live docs ranked behind it (the anti-join runs BEFORE the
+    per-segment limit, not after)."""
+    root = tmp_path / "root_adv"
+    inc.init_root(spark, base_docs, root, cfg=CFG)
+
+    # the base segment's top-3 for a common query
+    top3 = inc.query_topk_incremental(spark, root, "import", 3).toPandas()
+    assert len(top3) == 3
+    victim = int(top3["doc_id"].iloc[0])
+
+    changes = spark.createDataFrame([(victim, True, None)],
+                                    "doc_id long, deleted boolean, content string")
+    inc.apply_changes(spark, root, changes, seq=1, cfg=CFG)
+
+    got = inc.query_topk_incremental(spark, root, "import", 3).toPandas()
+    # still k rows (live docs promoted into the window), victim gone
+    assert len(got) == 3
+    assert victim not in set(got["doc_id"])
+    # rank-identical to an oracle over the live docs
+    live = base_docs.filter(F.col("doc_id") != victim) \
+                    .select("doc_id", "content").toPandas()
+    oracle = OracleBM25(live, content_col="content")
+    want = oracle.topk(tokenize_query("import"), 3)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+
+
+def test_tombstone_segments_survive_partial_batch(spark, base_docs, tmp_path):
+    """Crash-safety: earlier tombstone segments are append-only commits — a
+    batch that dies before advancing last_seq can never resurrect
+    previously-deleted docs when re-applied."""
+    root = tmp_path / "root_crash"
+    inc.init_root(spark, base_docs, root, cfg=CFG)
+
+    del_a = spark.createDataFrame([(1, True, None)],
+                                  "doc_id long, deleted boolean, content string")
+    inc.apply_changes(spark, root, del_a, seq=1, cfg=CFG)
+    assert inc.last_seq(root) == 1
+
+    # simulate a crash mid-batch-2: tombstone segment written, last_seq NOT
+    # advanced (the exact window where the old swap-rename lost the table)
+    from harvester_spark import tables
+    del_b = spark.createDataFrame([(2, True, None)],
+                                  "doc_id long, deleted boolean, content string")
+    tables.write_table(
+        del_b.select(F.col("doc_id").cast("long").alias("doc_id")),
+        root / "tombstones" / "seq=00000002")
+    assert inc.last_seq(root) == 1
+
+    # re-apply batch 2 (at-least-once delivery)
+    inc.apply_changes(spark, root, del_b, seq=2, cfg=CFG)
+    assert inc.last_seq(root) == 2
+    res = inc.query_topk_incremental(spark, root, "import", 500).toPandas()
+    assert not ({1, 2} & set(res["doc_id"]))

@@ -89,3 +89,39 @@ def test_embedding_near_dup_pairs(spark, emb):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     for r in two.itertuples():
         assert (int(r.vec_id), 10_000 + int(r.vec_id)) in got
+
+
+def test_ann_index_partition_pruned_and_recall(spark, emb, tmp_path):
+    """Persisted ANN index: per-query scan touches only probed bucket
+    partitions (partition pruning visible in the plan), and results match
+    the one-shot LSH path exactly (same planes, same probes)."""
+    from harvester_spark.operators.similarity import (build_ann_index,
+                                                      query_ann_index)
+    idx = tmp_path / "ann"
+    build_ann_index(emb, idx, n_planes=8, seed=42)
+
+    pdf = emb.toPandas()
+    q = [float(x) for x in pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]]
+    out = query_ann_index(spark, idx, q, 10, n_probe_bits=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    part_filters = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in part_filters  # pruning happens at planning time
+
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in out.collect()]
+    from harvester_spark.operators.similarity import lsh_cosine_topk
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in
+            lsh_cosine_topk(emb, q, 10, n_planes=8, n_probe_bits=1,
+                            seed=42).collect()]
+    assert got == want
+
+
+def test_embedding_near_dup_metrics(spark, emb):
+    """Oversized embedding buckets are dropped with accounting."""
+    from harvester_spark.operators.similarity import embedding_near_dup_pairs
+    pairs, metrics = embedding_near_dup_pairs(
+        emb, threshold=0.99, n_planes=2, max_bucket=3, with_metrics=True)
+    m = metrics.collect()[0]
+    # 2 planes => <=4 buckets for hundreds of vectors: every bucket oversized
+    assert m["dropped_buckets"] >= 1
+    assert m["dropped_doc_entries"] > 3
