@@ -371,6 +371,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("reason"))
     q["required_fields"] = required_fields
 
+    # ---- nested/dynamic metadata + enrichment chain (SURVEY §2.9/§2.11) ----
+    def dejson_flatten(spark, sf):
+        # heterogeneous metadata values: JSON-with-name, JSON-without-name,
+        # scalar JSON, plain string (dejson, solr_updater.py:137-180)
+        from harvester_spark.functions.nested import dejson_str
+        s = (F.when(F.col("event_id") % 4 == 0,
+                    F.concat(F.lit('{"name": "n'),
+                             (F.col("event_id") % 7).cast("string"),
+                             F.lit('"}')))
+             .when(F.col("event_id") % 4 == 1, F.lit('{"id": 3}'))
+             .when(F.col("event_id") % 4 == 2, F.lit("plain text"))
+             .otherwise(F.lit("17")))
+        return (_events(spark, sf).filter(F.col("event_id") < 400)
+                .select("event_id", dejson_str(s).alias("flat")))
+    q["dejson_flatten"] = dejson_flatten
+
+    def setprop_patch(spark, sf):
+        # path-addressed nested mutation with substring replace
+        # (batch_update_couchdb_by_collection.py:11-48)
+        from harvester_spark.functions.nested import setprop
+        nested = _docs(spark, sf).filter(F.col("doc_id") < 100).select(
+            "doc_id",
+            F.struct(
+                F.struct(F.concat(F.lit("http://old-host/p/"),
+                                  F.col("source")).alias("url"),
+                         F.array(F.concat(F.col("source"), F.lit("@old")),
+                                 F.lit("keep@old")).alias("tags"))
+                .alias("meta")).alias("props"))
+        patched = setprop(nested, "props/meta/url", "https://new-host",
+                          substring="http://old-host")
+        patched = setprop(patched, "props/meta/tags", "new", substring="old")
+        return patched.select(
+            "doc_id", F.col("props.meta.url").alias("url"),
+            F.concat_ws(",", F.col("props.meta.tags")).alias("tags"))
+    q["setprop_patch"] = setprop_patch
+
+    def map_dates_nested(spark, sf):
+        # date structs/lists → displays + min-start/min-end with symmetric
+        # fill (unpack_date/map_date, solr_updater.py:228-299)
+        from harvester_spark.functions.nested import map_date_expr
+        e = F.col("event_id")
+        d1 = F.struct(
+            F.concat(F.lit("c. "), (1900 + e % 80).cast("string"))
+            .alias("displayDate"),
+            F.when(e % 3 != 0, (1900 + e % 80).cast("string")).alias("begin"),
+            F.when(e % 5 != 0, F.concat((1900 + e % 80).cast("string"),
+                                        F.lit("-06-30"))).alias("end"))
+        d2 = F.struct(F.lit("later").alias("displayDate"),
+                      (1950 + e % 10).cast("string").alias("begin"),
+                      F.lit(None).cast("string").alias("end"))
+        m = map_date_expr(F.array(d1, d2))
+        return (_events(spark, sf).filter(e < 300)
+                .select("event_id",
+                        F.concat_ws("|", m["date"]).alias("displays"),
+                        F.coalesce(F.date_format(m["sort_date_start"],
+                                                 "yyyy-MM-dd"), F.lit("none"))
+                        .alias("start_date"),
+                        F.coalesce(F.date_format(m["sort_date_end"],
+                                                 "yyyy-MM-dd"), F.lit("none"))
+                        .alias("end_date")))
+    q["map_dates_nested"] = map_dates_nested
+
+    def facet_decade_full(spark, sf):
+        # display-date STRINGS incl. ranges → decade buckets + 'unknown'
+        # (public facet_decade semantics behind solr_updater.py:547-558)
+        from harvester_spark.functions.nested import facet_decade_display
+        e = F.col("event_id")
+        s = (F.when(e % 5 == 0,
+                    F.concat(F.lit("circa "), (1900 + e % 60).cast("string"),
+                             F.lit("-"), (1910 + e % 60).cast("string")))
+             .when(e % 5 == 1, (1800 + e % 100).cast("string"))
+             .when(e % 5 == 2, F.lit("n.d."))
+             .when(e % 5 == 3, F.concat(F.lit("between 999 and 99999 in "),
+                                        (1950 + e % 9).cast("string")))
+             .otherwise(F.lit("21054")))
+        return (_events(spark, sf)
+                .select(F.explode(facet_decade_display(s)).alias("decade"))
+                .groupBy("decade").agg(F.count("*").alias("n"))
+                .orderBy("decade"))
+    q["facet_decade_full"] = facet_decade_full
+
+    def props_map_keys(spark, sf):
+        # dynamic-schema metadata → MapType; key histogram
+        # (emuseum_fetcher.py:26-63 dynamic field names)
+        from harvester_spark.functions.nested import json_to_map
+        return (_events(spark, sf)
+                .select(F.explode(F.map_keys(json_to_map("props")))
+                        .alias("key"))
+                .groupBy("key").agg(F.count("*").alias("n")).orderBy("key"))
+    q["props_map_keys"] = props_map_keys
+
+    def media_exists(spark, sf):
+        # media-exists predicate as a manifest anti-join
+        # (check_nuxeo_media, solr_updater.py:665-685)
+        from harvester_spark.plans.transforms import media_exists_split
+        docs = _docs(spark, sf).withColumn(
+            "media_url",
+            F.when(F.col("doc_id") % 5 != 0,
+                   F.concat(F.lit("s3://assets/"),
+                            F.col("doc_id").cast("string"))))
+        manifest = (_docs(spark, sf).filter(F.col("doc_id") % 3 != 0)
+                    .select(F.concat(F.lit("s3://assets/"),
+                                     F.col("doc_id").cast("string"))
+                            .alias("media_url")))
+        kept, omitted = media_exists_split(docs, manifest)
+        return (kept.select(F.lit("kept").alias("status"))
+                .unionByName(omitted.select(F.lit("omitted").alias("status")))
+                .groupBy("status").agg(F.count("*").alias("n"))
+                .orderBy("status"))
+    q["media_exists"] = media_exists
+
+    def transform_chain(spark, sf):
+        # the per-collection enrichment chain, profile-style specs
+        # (enrich_existing_couch_doc.py:22-62 + registry profile
+        # collection_registry_client.py:123-140)
+        from harvester_spark.plans.transforms import apply_chain
+        src = _docs(spark, sf).filter(F.col("doc_id") < 200).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit('{"name": "The '), F.col("source"),
+                            F.lit(' Archive"}')))
+             .otherwise(F.col("source")).alias("title_raw"),
+            F.concat(F.lit("https://reg/"), F.col("source")).alias("url"))
+        out = apply_chain(src, [
+            "dejson?col=title_raw&dest=title",
+            "sort_title?col=title&dest=sort_key",
+            "add_slash?col=url",
+            "constant?dest=rights&value=public",
+            "require_fields?cols=title,url",
+        ])
+        return out.select("doc_id", "title", "sort_key", "url", "rights")
+    q["transform_chain"] = transform_chain
+
     def sort_collection_key(spark, sf):
         # composite sort key 'sortname:name:url' (solr_updater.py:576-587)
         return (_docs(spark, sf).filter(F.col("doc_id") < 100)
@@ -693,6 +826,132 @@ WITH d AS (
   FROM documents)
 SELECT coalesce(r1, r2, 'ok') AS reason, count(*) AS n
 FROM d GROUP BY 1 ORDER BY reason
+"""
+
+    o["dejson_flatten"] = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 4 = 0
+                THEN '{"name": "n' || CAST(event_id % 7 AS VARCHAR) || '"}'
+              WHEN event_id % 4 = 1 THEN '{"id": 3}'
+              WHEN event_id % 4 = 2 THEN 'plain text'
+              ELSE '17' END AS v
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+       CASE WHEN json_valid(v)
+            THEN coalesce(json_extract_string(v, '$.name'), v)
+            ELSE v END AS flat
+FROM s
+"""
+
+    o["setprop_patch"] = """
+SELECT doc_id,
+       replace('http://old-host/p/' || source,
+               'http://old-host', 'https://new-host') AS url,
+       replace(source || '@old', 'old', 'new') || ','
+         || replace('keep@old', 'old', 'new') AS tags
+FROM documents WHERE doc_id < 100
+"""
+
+    o["map_dates_nested"] = """
+WITH d AS (
+  SELECT event_id,
+         1900 + event_id % 80 AS y1,
+         1950 + event_id % 10 AS y2
+  FROM events WHERE event_id < 300),
+m AS (
+  SELECT event_id,
+         'c. ' || CAST(y1 AS VARCHAR) || '|later' AS displays,
+         CASE WHEN event_id % 3 <> 0
+              THEN least(make_date(y1, 1, 1), make_date(y2, 1, 1))
+              ELSE make_date(y2, 1, 1) END AS start_dt,
+         CASE WHEN event_id % 5 <> 0 THEN make_date(y1, 6, 30) END AS end_dt
+  FROM d)
+SELECT event_id, displays,
+       coalesce(strftime(start_dt, '%Y-%m-%d'), 'none') AS start_date,
+       coalesce(strftime(coalesce(end_dt, start_dt), '%Y-%m-%d'), 'none')
+         AS end_date
+FROM m
+"""
+
+    o["facet_decade_full"] = r"""
+WITH s AS (
+  SELECT CASE
+    WHEN event_id % 5 = 0 THEN 'circa '
+         || CAST(1900 + event_id % 60 AS VARCHAR) || '-'
+         || CAST(1910 + event_id % 60 AS VARCHAR)
+    WHEN event_id % 5 = 1 THEN CAST(1800 + event_id % 100 AS VARCHAR)
+    WHEN event_id % 5 = 2 THEN 'n.d.'
+    WHEN event_id % 5 = 3 THEN 'between 999 and 99999 in '
+         || CAST(1950 + event_id % 9 AS VARCHAR)
+    ELSE '21054' END AS v
+  FROM events),
+y AS (
+  SELECT list_filter(
+           list_transform(
+             regexp_extract_all(regexp_replace(v, '\d{5,}', ' ', 'g'),
+                                '(\d{4})', 1),
+             x -> x::INT),
+           x -> x >= 1000 AND x <= 2026) AS ys
+  FROM s),
+d AS (
+  SELECT CASE WHEN len(ys) = 0 THEN ['unknown']
+              ELSE list_transform(
+                     range((list_min(ys) // 10) * 10, list_max(ys) + 1, 10),
+                     x -> CAST(x AS VARCHAR) || 's') END AS ds
+  FROM y)
+SELECT decade, count(*) AS n
+FROM (SELECT unnest(ds) AS decade FROM d)
+GROUP BY decade ORDER BY decade
+"""
+
+    o["props_map_keys"] = """
+SELECT key, count(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+GROUP BY key ORDER BY key
+"""
+
+    o["media_exists"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 <> 0 THEN
+           CASE WHEN doc_id % 3 <> 0 THEN 'kept' ELSE 'omitted' END
+         ELSE 'kept' END AS status
+  FROM documents)
+SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status
+"""
+
+    o["transform_chain"] = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN '{"name": "The ' || source || ' Archive"}'
+              ELSE source END AS title_raw,
+         'https://reg/' || source AS url
+  FROM documents WHERE doc_id < 200),
+t AS (
+  SELECT doc_id,
+         CASE WHEN json_valid(title_raw)
+              THEN coalesce(json_extract_string(title_raw, '$.name'),
+                            title_raw)
+              ELSE title_raw END AS title,
+         url
+  FROM src),
+k AS (
+  SELECT doc_id, title,
+         regexp_replace(
+           trim(regexp_replace(
+             regexp_replace(lower(title), '[^0-9a-z\s]', '', 'g'),
+             '\s+', ' ', 'g')),
+           '^(the|a|an) ', '') AS sk,
+         url
+  FROM t)
+SELECT doc_id, title,
+       CASE WHEN sk = '' THEN '~title unknown' ELSE sk END AS sort_key,
+       CASE WHEN url LIKE '%/' THEN url ELSE url || '/' END AS url,
+       'public' AS rights
+FROM k
+WHERE title IS NOT NULL AND title <> '' AND url <> ''
 """
 
     o["sort_collection_key"] = r"""

@@ -71,8 +71,11 @@ def timed_build(cores: int) -> dict:
         extra_conf={
             "spark.local.dir": f"{shm}/spark-local",
             # corpus files are small; default 128MB split coalescing would
-            # collapse the scan to ~5 splits and serialize the map side
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            # collapse the scan to ~5 splits and serialize the map side.
+            # 32MB splits (≈19 for this corpus) balance parallelism against
+            # pack density: buffered per-partition packing turns each split
+            # into ONE pack group, so bigger splits = fewer, denser packs
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(1024 * 1024),
         })
     docs = spark.read.parquet(str(CORPUS_DIR))

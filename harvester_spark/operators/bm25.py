@@ -265,22 +265,184 @@ def open_index(spark: SparkSession, index_dir: str | Path,
     return IndexHandle(spark, index_dir, cache=cache)
 
 
+_EPS = 1.0 - 1e-12  # slack for ub-vs-decoded float comparisons
+
+
+def _per_term_max_ub(blocks: DataFrame, info: dict, present: list[str],
+                     idf_by_term: dict[str, float]) -> dict[str, float]:
+    """Exact per-term global UB: from the build-time term_ub stage when
+    available, else one aggregation job (pre-term_ub indexes)."""
+    if all(info[t].get("max_tfnorm") is not None for t in present):
+        return {t: idf_by_term[t] * info[t]["max_tfnorm"] for t in present}
+    return {r["term"]: r["mx"] for r in
+            blocks.groupBy("term").agg(F.max("ub").alias("mx")).collect()}
+
+
+def _localized_other_ub(blocks: DataFrame, per_term: dict[str, float],
+                        range_docs: int) -> DataFrame:
+    """Range-localized complement bounds: for every (term, doc-range)
+    cell, ``other_ub`` = Σ over OTHER query terms of their max block UB
+    within that range. Sharper than the global Σ maxUB because a term's
+    high-tf blocks cluster in doc-id ranges (and a term ABSENT from a
+    range contributes zero there). Pure plan fragment — no driver
+    collect; Catalyst folds it into the query job."""
+    W = range_docs
+    rng = blocks.select(
+        "term",
+        F.explode(F.sequence((F.col("doc_id_first") / W).cast("long"),
+                             (F.col("doc_id_last") / W).cast("long")))
+        .alias("rid"),
+        "ub")
+    per_tr = rng.groupBy("term", "rid").agg(F.max("ub").alias("mx"))
+    per_r = per_tr.groupBy("rid").agg(F.sum("mx").alias("tot"))
+    return (per_tr.join(per_r, "rid")
+            .select("term", "rid",
+                    (F.col("tot") - F.col("mx")).alias("other_ub")))
+
+
+def _theta_filter_localized(blocks: DataFrame, present: list[str],
+                            per_term: dict[str, float], theta: float,
+                            range_docs: int) -> DataFrame:
+    """Keep only blocks whose localized upper bound can reach θ.
+
+    Safety: for a doc d inside block b of term t, score(d) ≤ ub_t(b) +
+    Σ_{s≠t} maxUB_s(range(d)); d's range lies within [rid_first,
+    rid_last] of b. Blocks spanning ≤2 ranges use greatest(other at
+    rid_first, other at rid_last) — exact; wider-spanning blocks fall
+    back to the GLOBAL complement sum (safe, never sharper than truth).
+    A (term, range) pair missing from the localized table means no other
+    term has any block there → other_ub = 0."""
+    W = range_docs
+    other = _localized_other_ub(blocks, per_term, W)
+    total_ub = sum(per_term.values())
+    global_other = F.create_map(*[x for t in present for x in
+                                  (F.lit(t), F.lit(total_ub - per_term[t]))])
+    o1 = other.select(F.col("term").alias("t1"), F.col("rid").alias("r1"),
+                      F.col("other_ub").alias("ob1"))
+    o2 = other.select(F.col("term").alias("t2"), F.col("rid").alias("r2"),
+                      F.col("other_ub").alias("ob2"))
+    rid_first = (F.col("doc_id_first") / W).cast("long")
+    rid_last = (F.col("doc_id_last") / W).cast("long")
+    joined = (blocks
+              .withColumn("__rf", rid_first).withColumn("__rl", rid_last)
+              .join(F.broadcast(o1), (F.col("term") == F.col("t1"))
+                    & (F.col("__rf") == F.col("r1")), "left")
+              .join(F.broadcast(o2), (F.col("term") == F.col("t2"))
+                    & (F.col("__rl") == F.col("r2")), "left"))
+    local = F.greatest(F.coalesce(F.col("ob1"), F.lit(0.0)),
+                       F.coalesce(F.col("ob2"), F.lit(0.0)))
+    eff_other = F.when(F.col("__rl") - F.col("__rf") <= 1, local) \
+                 .otherwise(global_other[F.col("term")])
+    return (joined.filter(F.col("ub") + eff_other
+                          >= F.lit(theta) * _EPS - 1e-300)
+            .drop("__rf", "__rl", "t1", "r1", "ob1", "t2", "r2", "ob2"))
+
+
+def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
+                     rng_pdf: pd.DataFrame, present: list[str],
+                     idf_by_term: dict[str, float], k: int,
+                     k1: float, b: float, avgdl: float
+                     ) -> tuple[DataFrame, DataFrame] | None:
+    """Conjunctive θ-pruning over the rarest term's block ranges.
+
+    For each rare block range R = [lo, hi]: every intersection doc d with
+    its rare posting in R has score(d) ≤ ub_rare(R) + Σ_{s≠rare}
+    maxUB_s(s-blocks overlapping R) — d's s-block contains d ∈ R so it
+    overlaps R. θ = the k-th best FULL intersection score decoded from a
+    driver-side seed window (the best-bound ranges), a lower bound on the
+    true k-th best; ranges whose bound < θ drop with all their blocks.
+    Returns (pruned rare blocks, surviving ranges) or None when θ cannot
+    be established (seed found < k intersection docs — fall back to the
+    plain range semi-join, still exact)."""
+    n_rng = len(rng_pdf)
+    if n_rng == 0:
+        return None
+    ranges = spark.createDataFrame(
+        [(int(r.doc_id_first), int(r.doc_id_last), i)
+         for i, r in enumerate(rng_pdf.itertuples(index=False))],
+        "lo long, hi long, ridx int")
+
+    # per-range complement sums: max UB per (range, other term), summed
+    others_meta = (blocks.filter(F.col("term") != rarest)
+                   .select("term", "doc_id_first", "doc_id_last", "ub"))
+    per_rt = (others_meta.join(
+        F.broadcast(ranges),
+        (F.col("doc_id_last") >= F.col("lo"))
+        & (F.col("doc_id_first") <= F.col("hi")))
+        .groupBy("ridx", "term").agg(F.max("ub").alias("mx"))
+        .groupBy("ridx").agg(F.sum("mx").alias("other_sum"))
+        .toPandas())
+    other_sum = np.zeros(n_rng)
+    other_sum[per_rt["ridx"].to_numpy()] = per_rt["other_sum"].to_numpy()
+    bound = rng_pdf["ub"].to_numpy() + other_sum
+
+    # θ seed: decode ALL terms' blocks overlapping the best-bound ranges
+    n_seed = min(n_rng, max(1, (4 * k) // 128 + 1))
+    top = np.argsort(-bound)[:n_seed]
+    seed_ranges = spark.createDataFrame(
+        [(int(rng_pdf["doc_id_first"].iat[i]),
+          int(rng_pdf["doc_id_last"].iat[i])) for i in top],
+        "slo long, shi long")
+    seed_pdf = (blocks.join(
+        F.broadcast(seed_ranges),
+        (F.col("doc_id_last") >= F.col("slo"))
+        & (F.col("doc_id_first") <= F.col("shi")), "left_semi")
+        .select("term", "doc_id_first", "doc_count", "deltas", "tfs", "dls")
+        .toPandas())
+    if not len(seed_pdf):
+        return None
+    per_term_frames = []
+    for t, grp in seed_pdf.groupby("term"):
+        dec = _decode_block_rows(grp, idf_by_term, k1, b, avgdl)
+        dec["term"] = t
+        per_term_frames.append(dec)
+    dec_all = pd.concat(per_term_frames, ignore_index=True)
+    agg = dec_all.groupby("doc_id").agg(score=("score", "sum"),
+                                        nt=("term", "nunique"))
+    inter = agg[agg["nt"] == len(present)]["score"].to_numpy()
+    if inter.size < k:
+        return None
+    theta = float(np.partition(inter, -k)[-k])
+
+    keep_mask = bound >= theta * _EPS - 1e-300
+    if keep_mask.all():
+        return None  # nothing pruned: skip the extra semi-join plumbing
+    kept = spark.createDataFrame(
+        [(int(rng_pdf["doc_id_first"].iat[i]),
+          int(rng_pdf["doc_id_last"].iat[i]))
+         for i in np.nonzero(keep_mask)[0]],
+        "lo long, hi long")
+    rare_kept = blocks.filter(F.col("term") == rarest).join(
+        F.broadcast(kept),
+        (F.col("doc_id_first") == F.col("lo"))
+        & (F.col("doc_id_last") == F.col("hi")), "left_semi")
+    return rare_kept, kept
+
+
 def query_topk_index(spark: SparkSession,
                      index_dir: str | Path | IndexHandle, query: str,
                      k: int, *, mode: str = "or", prune: bool = True,
                      prune_min_postings: int = 50_000,
-                     exclude_ids: DataFrame | None = None) -> DataFrame:
+                     range_docs: int = 1 << 20,
+                     exclude_ids: DataFrame | None = None,
+                     metrics_out: dict | None = None) -> DataFrame:
     """Top-k BM25 over the prebuilt index with block-max pruning.
 
     Safety of the pruning (rank-identity guaranteed): θ is the k-th best
-    *partial* score from the highest-upper-bound blocks — a lower bound on
-    the true k-th best score. A block is pruned only when
-    ``UB(block) + Σ_{other terms} maxUB < θ``; any document with a posting
-    in that block has true score < θ, so it cannot be in the true top-k,
-    and (contrapositive) no true top-k document ever loses a block, so
-    surviving scores are exact. Pruning is disabled in AND mode where the
-    bound argument does not transfer (conjunctive WAND is a later
-    refinement).
+    achievable score from a decoded seed — a lower bound on the true k-th
+    best. A block is pruned only when ``UB(block) + complement-UB < θ``
+    (complement bounds range-localized via :func:`_theta_filter_localized`);
+    any document with a posting in that block has true score < θ, so it
+    cannot be in the true top-k, and (contrapositive) no true top-k
+    document ever loses a block, so surviving scores are exact.
+
+    AND mode combines three exact prunes: (1) every intersection doc lies
+    inside the RAREST term's posting-block ranges, so other terms' blocks
+    missing all rare ranges drop; (2) θ from a driver-decoded seed window
+    (full intersection scores over the best rare ranges); (3) a rare range
+    whose ub_rare + Σ_{s≠rare} localized maxUB_s < θ drops WITH its other-
+    term blocks. ``metrics_out`` (optional dict) receives block-skip
+    accounting (costs two tiny count jobs — tests/bench only).
     """
     # ad-hoc (path) calls: no caching, no driver-side dictionary collect —
     # a filtered lookup job beats materializing the vocabulary once
@@ -307,20 +469,37 @@ def query_topk_index(spark: SparkSession,
                              for x in (F.lit(t), F.lit(idf_by_term[t]))])
     blocks = postings.withColumn("ub", idf_map[F.col("term")]
                                  * F.col("block_max_tfnorm"))
+    if metrics_out is not None:
+        metrics_out["blocks_total"] = blocks.count()
 
     # pruning pays off only when there is real volume to skip
     total_postings = sum(info[t]["df"] for t in present)
     if (prune and mode == "and" and len(present) > 1
             and total_postings > prune_min_postings):
-        # conjunctive pruning: every intersection doc lies inside the
-        # RAREST term's posting-block ranges, so other terms' blocks whose
-        # [doc_id_first, doc_id_last] span misses all of those ranges can
-        # never contribute. Exact — no threshold needed.
         rarest = min(present, key=lambda t: info[t]["df"])
-        ranges = (blocks.filter(F.col("term") == rarest)
-                  .select(F.col("doc_id_first").alias("lo"),
-                          F.col("doc_id_last").alias("hi")))
         rare_blocks = blocks.filter(F.col("term") == rarest)
+        # (2)+(3): θ-based rare-RANGE pruning, driver-side over the rare
+        # block metadata (small: df_rare/block_size rows)
+        max_rare_ranges = 50_000
+        n_rare_blocks = info[rarest]["df"] // meta.get("block_size", 128) + 1
+        if n_rare_blocks <= max_rare_ranges:
+            rng_pdf = (rare_blocks
+                       .select("doc_id_first", "doc_id_last", "ub")
+                       .toPandas())
+            kept = _and_range_prune(spark, blocks, rarest, rng_pdf, present,
+                                    idf_by_term, k, k1, b, avgdl)
+            if kept is not None:
+                rare_blocks, ranges = kept
+            else:
+                ranges = (rare_blocks
+                          .select(F.col("doc_id_first").alias("lo"),
+                                  F.col("doc_id_last").alias("hi")))
+        else:
+            ranges = (rare_blocks
+                      .select(F.col("doc_id_first").alias("lo"),
+                              F.col("doc_id_last").alias("hi")))
+        # (1) range semi-join: other terms' blocks must overlap a
+        # surviving rare range
         others = blocks.filter(F.col("term") != rarest).join(
             F.broadcast(ranges),
             (F.col("doc_id_last") >= F.col("lo"))
@@ -328,16 +507,7 @@ def query_topk_index(spark: SparkSession,
             "left_semi")
         blocks = rare_blocks.unionByName(others)
     if prune and mode == "or" and total_postings > prune_min_postings:
-        # exact per-term max UB: precomputed at build time (term_ub stage);
-        # fall back to one aggregation job for pre-term_ub indexes
-        if all(info[t].get("max_tfnorm") is not None for t in present):
-            per_term = {t: idf_by_term[t] * info[t]["max_tfnorm"]
-                        for t in present}
-        else:
-            per_term = {r["term"]: r["mx"] for r in
-                        blocks.groupBy("term").agg(
-                            F.max("ub").alias("mx")).collect()}
-        total_ub = sum(per_term.values())
+        per_term = _per_term_max_ub(blocks, info, present, idf_by_term)
         # θ: k-th best partial score from the top-UB blocks (driver decode
         # of a handful of rows)
         seed_n = max(8, (4 * k) // max(meta.get("block_size", 128), 1) + 2)
@@ -346,11 +516,17 @@ def query_topk_index(spark: SparkSession,
                        .groupby("doc_id")["score"].sum().to_numpy())
         if seed_scores.size >= k:
             theta = float(np.partition(seed_scores, -k)[-k])
-            other_ub = F.create_map(*[x for t in present for x in
-                                      (F.lit(t), F.lit(total_ub - per_term[t]))])
-            # epsilon slack guards the ub-vs-decoded-score float comparison
-            blocks = blocks.filter(F.col("ub") + other_ub[F.col("term")]
-                                   >= F.lit(theta) * (1.0 - 1e-12) - 1e-300)
+            if len(present) > 1:
+                blocks = _theta_filter_localized(blocks, present, per_term,
+                                                 theta, range_docs)
+            else:
+                blocks = blocks.filter(
+                    F.col("ub") >= F.lit(theta) * _EPS - 1e-300)
+    if metrics_out is not None:
+        metrics_out["blocks_scored"] = blocks.count()
+        tot = metrics_out["blocks_total"]
+        metrics_out["block_skip_ratio"] = round(
+            1.0 - metrics_out["blocks_scored"] / tot, 4) if tot else 0.0
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -75,6 +75,11 @@ class IndexConfig:
     # incomplete group, not the whole merge (north_rule term-shard resume).
     # 1 = single job (right for small builds; at 100 TB pick ~#executors)
     postings_shard_groups: int = 1
+    # packing buffers input batches up to this many docs before encoding,
+    # so pack granularity is per-PARTITION, not per-Arrow-batch: fewer,
+    # denser packs → less binary-cell serde through shuffle + parquet.
+    # Bounded: ~flush_docs × avgdl × 24 B peak per task.
+    pack_flush_docs: int = 32_768
 
 
 PACKED_SCHEMA = StructType([
@@ -137,6 +142,81 @@ def _tfnorm(tf: np.ndarray, dl: np.ndarray, k1: float, b: float,
 # S3: map-side posting packer (no shuffle; one pass over content)
 # --------------------------------------------------------------------------
 
+def pack_batch(pdf: pd.DataFrame, part_id: int) -> pd.DataFrame | None:
+    """The packing kernel: one pandas batch of (doc_id, content) → pack
+    rows (one per term present in the batch). Module-level so the no-Spark
+    kernel microbenchmark (bench_kernel.py) drives the EXACT code Spark
+    runs.
+
+    All heavy work is integer-vectorized: tokens are dictionary-encoded to
+    int32 codes immediately after the pyarrow regex split, so grouping and
+    sorting never touch python-object strings (an object-dtype lexsort is
+    memory-traffic-bound and was the kernel's dominant cost)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from harvester_spark.functions.tokenize import TOKEN_SPLIT_RE
+
+    arr = pa.Array.from_pandas(pdf["content"].fillna(""))
+    splits = pc.split_pattern_regex(pc.utf8_lower(arr), TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(splits)
+    parent = pc.list_parent_indices(splits)
+    mask = pc.not_equal(flat, "")
+    flat = pc.filter(flat, mask)
+    parent = pc.filter(parent, mask)
+    if len(flat) == 0:
+        return None
+
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    if isinstance(parent, pa.ChunkedArray):
+        parent = parent.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = denc.dictionary
+    pos = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    nrows = len(pdf)
+
+    # tf per (term-code, doc-pos): sort the combined int key once
+    key = codes * nrows + pos
+    key.sort(kind="stable")
+    new = np.ones(key.size, dtype=bool)
+    new[1:] = key[1:] != key[:-1]
+    starts0 = np.nonzero(new)[0]
+    tf = np.diff(np.append(starts0, key.size)).astype(np.int64)
+    ukey = key[starts0]
+    ucode = ukey // nrows
+    upos = ukey % nrows
+
+    dl_by_pos = np.bincount(pos, minlength=nrows)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)[upos]
+    dl = dl_by_pos[upos].astype(np.int64)
+
+    # pack order: (term-code, doc_id) — int lexsort over the reduced pairs
+    order = np.lexsort((doc_ids, ucode))
+    ucode, doc_ids, tf, dl = ucode[order], doc_ids[order], tf[order], dl[order]
+    new_term = np.ones(ucode.size, dtype=bool)
+    new_term[1:] = ucode[1:] != ucode[:-1]
+    starts = np.nonzero(new_term)[0]
+    ends = np.append(starts[1:], ucode.size)
+
+    gaps = np.zeros(ucode.size, dtype=np.uint64)
+    gaps[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    terms = vocab.take(pa.array(ucode[starts], type=pa.int64())) \
+                 .to_pandas().to_numpy()
+    return pd.DataFrame({
+        "term": terms,
+        "part_id": np.full(starts.size, part_id, dtype=np.int32),
+        "doc_count": (ends - starts).astype(np.int32),
+        "sum_tf": np.add.reduceat(tf, starts).astype(np.int64),
+        "max_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
+        "doc_id_first": doc_ids[starts],
+        "ids": _slice_stream(gaps, starts, ends, keep=~new_term),
+        "tfs": _slice_stream(tf.astype(np.uint64), starts, ends),
+        "dls": _slice_stream(dl.astype(np.uint64), starts, ends),
+    })
+
+
 def build_packs(docs: DataFrame, cfg: IndexConfig, *,
                 id_col: str = "doc_id",
                 content_col: str = "content") -> DataFrame:
@@ -147,62 +227,38 @@ def build_packs(docs: DataFrame, cfg: IndexConfig, *,
     metadata (block_max_tfnorm) is computed at merge time, so packing is
     the FIRST stage — one pass over content, no prior scan needed."""
     import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from harvester_spark.functions.tokenize import TOKEN_SPLIT_RE
 
     src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(content_col).alias("content"))
+    flush_docs = cfg.pack_flush_docs
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pa.set_cpu_count(1)
         from pyspark import TaskContext
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx else -1
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+
+        def flush() -> pd.DataFrame | None:
+            pdf = buf[0] if len(buf) == 1 else pd.concat(buf,
+                                                         ignore_index=True)
+            return pack_batch(pdf, part_id)
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            arr = pa.Array.from_pandas(pdf["content"].fillna(""))
-            splits = pc.split_pattern_regex(pc.utf8_lower(arr),
-                                            TOKEN_SPLIT_RE)
-            flat = pc.list_flatten(splits)
-            parent = pc.list_parent_indices(splits)
-            mask = pc.not_equal(flat, "")
-            tbl = pa.table({"pos": pc.filter(parent, mask),
-                            "t": pc.filter(flat, mask)})
-            if tbl.num_rows == 0:
-                continue
-            agg = (tbl.group_by(["pos", "t"])
-                   .aggregate([([], "count_all")]))
-            pos = agg.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            terms = agg.column(1).to_pandas().to_numpy()
-            tf = agg.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
-            # doc length = sum of tf per pos (bincount over batch positions)
-            dl_by_pos = np.bincount(pos, weights=tf, minlength=len(pdf))
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)[pos]
-            dl = dl_by_pos[pos].astype(np.int64)
-
-            order = np.lexsort((doc_ids, terms))
-            terms, doc_ids, tf, dl = (terms[order], doc_ids[order],
-                                      tf[order], dl[order])
-            new_term = np.ones(terms.size, dtype=bool)
-            new_term[1:] = terms[1:] != terms[:-1]
-            starts = np.nonzero(new_term)[0]
-            ends = np.append(starts[1:], terms.size)
-
-            gaps = np.zeros(terms.size, dtype=np.uint64)
-            gaps[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
-            yield pd.DataFrame({
-                "term": terms[starts],
-                "part_id": np.full(starts.size, part_id, dtype=np.int32),
-                "doc_count": (ends - starts).astype(np.int32),
-                "sum_tf": np.add.reduceat(tf, starts).astype(np.int64),
-                "max_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
-                "doc_id_first": doc_ids[starts],
-                "ids": _slice_stream(gaps, starts, ends, keep=~new_term),
-                "tfs": _slice_stream(tf.astype(np.uint64), starts, ends),
-                "dls": _slice_stream(dl.astype(np.uint64), starts, ends),
-            })
+            buf.append(pdf)
+            buffered += len(pdf)
+            if buffered >= flush_docs:
+                out = flush()
+                if out is not None:
+                    yield out
+                buf, buffered = [], 0
+        if buf:
+            out = flush()
+            if out is not None:
+                yield out
 
     return src.mapInPandas(pack, schema=PACKED_SCHEMA)
 
@@ -414,17 +470,34 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
         src = src.repartition(n_input, "doc_id")
 
     # S1 — packed postings (map-side; one pass over content; the resumable
-    # bulk checkpoint)
-    pk_path = stage("packed", lambda out: tables.write_table(
-        build_packs(src, cfg, content_col="content"), out))
+    # bulk checkpoint). The SAME write job carries two observe() metrics —
+    # N (count of source rows, zero-token docs included) and total tokens
+    # (Σ pack.sum_tf) — so S2 needs NO jobs of its own on a fresh build.
+    from pyspark.sql import Observation
+    src_obs = Observation()
+    pk_obs = Observation()
+
+    def s1(out: Path) -> None:
+        observed = src.observe(src_obs, F.count(F.lit(1)).alias("n_docs"))
+        pk = build_packs(observed, cfg, content_col="content")
+        pk = pk.observe(pk_obs, F.sum("sum_tf").alias("total_tokens"))
+        tables.write_table(pk, out)
+
+    packed_was_committed = tables.is_committed(index_dir / "packed")
+    pk_path = stage("packed", s1)
     packs = tables.read_table(spark, pk_path)
 
-    # S2 — global stats from pack metadata: N = all docs (zero-token docs
-    # included, matching the oracle), total tokens = Σ pack.sum_tf, so
-    # avgdl = total/N exactly. No second pass over content.
+    # S2 — global stats. Fresh build: free (observed during the S1 write).
+    # Resumed build (S1 skipped → observations never fire): recompute with
+    # the old two tiny jobs.
     def s2(out: Path) -> None:
-        n = src.select("doc_id").count()
-        total = packs.agg(F.sum("sum_tf")).collect()[0][0] or 0
+        s1_ran = force or not packed_was_committed
+        if s1_ran:
+            n = src_obs.get["n_docs"]
+            total = pk_obs.get["total_tokens"] or 0
+        else:
+            n = src.select("doc_id").count()
+            total = packs.agg(F.sum("sum_tf")).collect()[0][0] or 0
         out.mkdir(parents=True, exist_ok=True)
         (out / "_table_meta.json").write_text(json.dumps(
             {"N": int(n), "avgdl": (float(total) / n) if n else 0.0,
@@ -486,19 +559,23 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
         tables.write_table(union, out, sort_cols=["term"], meta=meta)
     stage("postings", s5)
 
-    # S5 — term_ub: exact per-term score upper bound (max block_max_tfnorm)
-    # folded into the dictionary side so the query path gets block-max
-    # pruning bounds without a per-query aggregation job
+    # S5/S6 — term_ub + lineage: two independent small aggregations over the
+    # postings metadata columns. Each is dominated by fixed per-job overhead
+    # at high core counts, so they run CONCURRENTLY (Spark's scheduler
+    # interleaves both jobs across the same executors); each remains its own
+    # atomic, resumable commit.
     def s5b(out: Path) -> None:
+        # exact per-term score upper bound (max block_max_tfnorm) folded
+        # into the dictionary side so the query path gets block-max pruning
+        # bounds without a per-query aggregation job
         postings = tables.read_table(spark, index_dir / "postings")
         ub = postings.groupBy("term").agg(
             F.max("block_max_tfnorm").alias("max_tfnorm"),
             F.count("*").alias("n_blocks"))
         tables.write_table(ub, out, sort_cols=["term"])
-    stage("term_ub", s5b)
 
-    # S6 — lineage: per-build-partition provenance
     def s6(out: Path) -> None:
+        # lineage: per-build-partition provenance
         postings = tables.read_table(spark, index_dir / "postings")
         lin = (postings.groupBy("part_id")
                .agg(F.min("term").alias("term_min"),
@@ -511,6 +588,12 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
                .withColumn("run_id", F.lit(run_id))
                .withColumn("status", F.lit("complete")))
         tables.write_table(lin, out)
-    stage("lineage", s6)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(stage, "term_ub", s5b),
+                ex.submit(stage, "lineage", s6)]
+        for f in futs:
+            f.result()
 
     return report

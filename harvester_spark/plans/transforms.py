@@ -1,0 +1,169 @@
+"""Configurable enrichment-chain API — the reference's core extensibility
+point re-expressed over DataFrames.
+
+The reference drives every ingest through a per-collection list of named
+enrichments applied in order (harvester/post_processing/
+enrich_existing_couch_doc.py:22-62 posts each doc through the chain;
+the chain itself is configured on the collection profile as a
+comma-separated list of ``/name?param=value`` specs,
+harvester/collection_registry_client.py:123-140). Here a chain is a list
+of transform specs applied to a whole DataFrame — each step a column
+rewrite, so the composed chain stays ONE Catalyst plan (single pass over
+the data, whole-stage codegen; nothing is materialized between steps).
+
+Spec forms accepted by :func:`apply_chain`:
+- ``"sort_title?col=title&dest=sort_title"`` — profile-style string
+- ``{"transform": "setprop", "path": "props/a", "value": "x"}`` — dict
+- ``("my_pkg.my_mod:my_fn", {...})`` — dotted dynamic import (the
+  run_transform_on_couchdb_docs.py:34-45 extension point)
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from urllib.parse import parse_qsl, urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRANSFORMS: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_transform(name: str):
+    """Register a DataFrame transform (fn(df, **params) -> df) under a
+    chain-addressable name."""
+    def deco(fn: Callable[..., DataFrame]):
+        TRANSFORMS[name] = fn
+        return fn
+    return deco
+
+
+def resolve_transform(name: str) -> Callable[..., DataFrame]:
+    """Registry lookup, falling back to dotted-name dynamic import
+    (``package.module:function``) — the reference's importlib extension
+    hook (run_transform_on_couchdb_docs.py:34-45)."""
+    if name in TRANSFORMS:
+        return TRANSFORMS[name]
+    if ":" in name:
+        mod, fn = name.split(":", 1)
+        return getattr(importlib.import_module(mod), fn)
+    raise KeyError(f"unknown transform {name!r} "
+                   f"(registered: {sorted(TRANSFORMS)})")
+
+
+def parse_spec(spec) -> tuple[str, dict]:
+    """One chain entry → (name, params)."""
+    if isinstance(spec, str):
+        u = urlparse(spec)
+        return u.path.lstrip("/"), dict(parse_qsl(u.query))
+    if isinstance(spec, dict):
+        params = dict(spec)
+        return params.pop("transform"), params
+    if isinstance(spec, tuple):
+        name, params = spec
+        return name, dict(params)
+    raise TypeError(f"bad transform spec: {spec!r}")
+
+
+def apply_chain(df: DataFrame, chain: list) -> DataFrame:
+    """Apply the enrichment chain in order. Lazy: the result is one
+    composed logical plan — Catalyst prunes/pushes across all steps."""
+    for spec in chain:
+        name, params = parse_spec(spec)
+        df = resolve_transform(name)(df, **params)
+    return df
+
+
+def chain_from_profile(profile: dict) -> list:
+    """Extract the item-enrichment chain from a reference-style ingest
+    profile dict (collection_registry_client.py:123-140
+    ``enrichments_item``)."""
+    items = profile.get("enrichments_item", [])
+    if isinstance(items, str):
+        items = [s.strip() for s in items.split(",") if s.strip()]
+    return items
+
+
+# ---------------------------------------------------------------------------
+# built-in transforms (each wraps a functions/* column expression)
+# ---------------------------------------------------------------------------
+
+def _col_transform(name: str, expr_fn):
+    @register_transform(name)
+    def t(df: DataFrame, col: str, dest: str | None = None,
+          **kw) -> DataFrame:
+        return df.withColumn(dest or col, expr_fn(F.col(col), **kw))
+    t.__name__ = name
+    return t
+
+
+def _register_builtins() -> None:
+    from harvester_spark.functions import nested, text
+
+    _col_transform("sort_title", lambda c: text.sort_title(c))
+    _col_transform("normalize_type", lambda c: text.normalize_type(c))
+    _col_transform("add_slash", lambda c: text.add_slash(c))
+    _col_transform("make_date", lambda c: text.make_date(c))
+    _col_transform("fix_repeated_year", lambda c: text.fix_repeated_year(c))
+    _col_transform("dedupe_list", lambda c: text.dedupe_list(c))
+    _col_transform("ark_extract", lambda c: text.ark_extract(c))
+    _col_transform("dejson", lambda c: nested.dejson_str(c))
+    _col_transform("dejson_array", lambda c: nested.dejson_array(c))
+    _col_transform("remove_blanks", lambda c: nested.remove_blanks(c))
+    _col_transform("map_date", lambda c: nested.map_date_expr(c))
+    _col_transform(
+        "facet_decade",
+        lambda c, max_year="2026": nested.facet_decade_display(
+            c, max_year=int(max_year)))
+
+    @register_transform("setprop")
+    def _setprop(df: DataFrame, path: str, value: str,
+                 substring: str | None = None) -> DataFrame:
+        return nested.setprop(df, path, value, substring)
+
+    @register_transform("project_field")
+    def _project(df: DataFrame, src: str, dest: str) -> DataFrame:
+        return nested.project_field(df, src, dest)
+
+    @register_transform("project_field_to_many")
+    def _project_many(df: DataFrame, src: str, dests: str) -> DataFrame:
+        return nested.project_field_to_many(df, src, dests.split(","))
+
+    @register_transform("require_fields")
+    def _require(df: DataFrame, cols: str) -> DataFrame:
+        """Required-field predicate (solr_updater.py:445-473): keep rows
+        where every listed column is non-null and non-empty."""
+        cond = F.lit(True)
+        for c in cols.split(","):
+            col = F.col(c)
+            cond = cond & col.isNotNull() & (col.cast("string") != "")
+        return df.filter(cond)
+
+    @register_transform("constant")
+    def _constant(df: DataFrame, dest: str, value: str) -> DataFrame:
+        """Constant-set field (the reference's fixed rights statements)."""
+        return df.withColumn(dest, F.lit(value))
+
+
+_register_builtins()
+
+
+# ---------------------------------------------------------------------------
+# media-exists predicate (solr_updater.py:665-685 check_nuxeo_media)
+# ---------------------------------------------------------------------------
+
+def media_exists_split(docs: DataFrame, manifest: DataFrame,
+                       key: str = "media_url"
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Split docs into (kept, omitted) by existence of their media asset in
+    a manifest table — the anti-join form of check_nuxeo_media (which HEADs
+    S3 per doc; at 100 TB an asset-manifest join replaces 10^12 HTTP
+    round-trips with one broadcast/shuffle join). Docs with no media
+    reference at all pass through (the reference returns early when
+    ``structmap_url`` is absent)."""
+    has_ref = docs.filter(F.col(key).isNotNull())
+    no_ref = docs.filter(F.col(key).isNull())
+    kept = has_ref.join(manifest.select(key).distinct(), key, "left_semi")
+    omitted = has_ref.join(manifest.select(key).distinct(), key, "left_anti")
+    return kept.unionByName(no_ref), omitted

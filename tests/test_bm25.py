@@ -108,3 +108,22 @@ def test_tie_break_doc_id_asc(oracle):
     for i in range(len(res) - 1):
         if s[i] == s[i + 1]:
             assert d[i] < d[i + 1]
+
+
+@pytest.mark.parametrize("q,mode", [("import ident_3", "or"),
+                                    ("def class return", "or"),
+                                    ("def class return", "and"),
+                                    ("value data result", "and"),
+                                    ("self import", "and")])
+def test_range_localized_pruning_exact(spark, index_dir, oracle, q, mode):
+    """Range-localized UBs (small ranges force many cells + the multi-range
+    fallback) and the AND θ path (small k so a seed θ is established) must
+    stay exact, with real block skipping reported via metrics_out."""
+    m: dict = {}
+    pruned = query_topk_index(spark, index_dir, q, 3, mode=mode, prune=True,
+                              prune_min_postings=0, range_docs=64,
+                              metrics_out=m).toPandas()
+    want = oracle.topk(tokenize_query(q), 3, mode=mode)
+    assert_rank_identical(pruned, want, f"localized {mode} {q!r}")
+    assert 0 < m["blocks_scored"] <= m["blocks_total"]
+    assert 0.0 <= m["block_skip_ratio"] < 1.0

@@ -1,0 +1,158 @@
+"""Nested-metadata functions + enrichment-chain API
+(dejson / setprop / map_date / facet_decade / dynamic fields / chains)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_spark.functions.nested import (dejson_array, dejson_str,
+                                              dejson_struct,
+                                              dynamic_fields_map,
+                                              facet_decade_display,
+                                              map_date_expr, project_field,
+                                              remove_blanks, setprop)
+from harvester_spark.plans.transforms import (apply_chain,
+                                              chain_from_profile,
+                                              media_exists_split,
+                                              resolve_transform)
+
+
+@pytest.fixture(scope="module")
+def jdocs(spark):
+    rows = [
+        (0, '{"name": "alice"}'),
+        (1, '{"id": 7}'),          # JSON object without name -> unchanged
+        (2, "plain"),              # not JSON -> unchanged
+        (3, "17"),                 # scalar JSON -> unchanged
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "i long, v string")
+
+
+def test_dejson_str(jdocs):
+    out = {r["i"]: r["o"] for r in
+           jdocs.select("i", dejson_str("v").alias("o")).collect()}
+    assert out == {0: "alice", 1: '{"id": 7}', 2: "plain", 3: "17", 4: None}
+
+
+def test_dejson_array_and_struct(spark):
+    df = spark.createDataFrame(
+        [(0, ['{"name": "x"}', "y"])], "i long, vs array<string>")
+    assert df.select(dejson_array("vs").alias("o")).first()["o"] == ["x", "y"]
+    sdf = spark.createDataFrame(
+        [(None, "nm", "tx"), ("it", "nm", None), (None, None, None)],
+        "item string, name string, text string")
+    got = [r["o"] for r in
+           sdf.select(dejson_struct(F.struct("item", "name", "text"))
+                      .alias("o")).collect()]
+    assert got == ["nm", "it", None]
+
+
+def test_setprop_nested_string_and_array(spark):
+    df = spark.createDataFrame(
+        [(0, (("http://old/x", ["a@old", "b"]),))],
+        "i long, props struct<meta:struct<url:string, tags:array<string>>>")
+    out = setprop(df, "props/meta/url", "https://new", substring="http://old")
+    out = setprop(out, "props/meta/tags", "NEW", substring="old")
+    r = out.select("props.meta.url", "props.meta.tags").first()
+    assert r["url"] == "https://new/x"
+    assert r["tags"] == ["a@NEW", "b"]
+    # overwrite mode (no substring): every array element replaced
+    ow = setprop(df, "props/meta/tags", "Z").select("props.meta.tags").first()
+    assert ow["tags"] == ["Z", "Z"]
+    # top-level column leaf
+    top = spark.createDataFrame([(0, "x-old")], "i long, v string")
+    assert setprop(top, "v", "new", substring="old").first()["v"] == "x-new"
+    with pytest.raises(KeyError):
+        setprop(df, "props/nope/url", "v")
+
+
+def test_map_date_symmetric_fill(spark):
+    df = spark.createDataFrame(
+        [(0, [("d1", "1950", "1960-06-30")]),   # both
+         (1, [("d2", "1950", None)]),           # only begin -> end = start
+         (2, [("d3", None, "1960")]),           # only end -> start = end
+         (3, [("d4", None, None)]),             # neither -> nulls
+         (4, [("a", "1970", None), ("b", "1955", "1940")])],  # min rules
+        "i long, dates array<struct<displayDate:string, begin:string, "
+        "end:string>>")
+    m = df.select("i", map_date_expr("dates").alias("m")).collect()
+    got = {r["i"]: (r["m"]["date"], r["m"]["sort_date_start"],
+                    r["m"]["sort_date_end"]) for r in m}
+    assert got[0] == (["d1"], dt.date(1950, 1, 1), dt.date(1960, 6, 30))
+    assert got[1] == (["d2"], dt.date(1950, 1, 1), dt.date(1950, 1, 1))
+    assert got[2] == (["d3"], dt.date(1960, 1, 1), dt.date(1960, 1, 1))
+    assert got[3] == (["d4"], None, None)
+    assert got[4] == (["a", "b"], dt.date(1955, 1, 1), dt.date(1940, 1, 1))
+
+
+def test_facet_decade_display(spark):
+    rows = [(0, "circa 1923-1945"), (1, "n.d."), (2, "1800"),
+            (3, "21054"), (4, "born 999, died 3050"), (5, "1999 and 2001")]
+    df = spark.createDataFrame(rows, "i long, d string")
+    got = {r["i"]: r["o"] for r in
+           df.select("i", facet_decade_display("d").alias("o")).collect()}
+    assert got[0] == ["1920s", "1930s", "1940s"]
+    assert got[1] == ["unknown"]
+    assert got[2] == ["1800s"]
+    assert got[3] == ["unknown"]        # 5-digit run blanked
+    assert got[4] == ["unknown"]        # 999 too short, 3050 > max_year
+    assert got[5] == ["1990s", "2000s"]
+
+
+def test_dynamic_fields_map(spark):
+    df = spark.createDataFrame(
+        [(0, [("title", "t1"), ("author", "a1"), ("title", "t2")])],
+        "i long, entries array<struct<name:string, value:string>>")
+    m = df.select(dynamic_fields_map("entries").alias("m")).first()["m"]
+    assert m == {"title": "t2", "author": "a1"}  # later duplicate wins
+
+
+def test_remove_blanks_and_project(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "", None, "b"]), (1, ["", None])],
+        "i long, xs array<string>")
+    got = {r["i"]: r["o"] for r in
+           df.select("i", remove_blanks("xs").alias("o")).collect()}
+    assert got == {0: ["a", "b"], 1: None}
+    sdf = spark.createDataFrame([(0, '{"name": "x"}'), (1, "")],
+                                "i long, src string")
+    out = {r["i"]: r["dest"] for r in
+           project_field(sdf, "src", "dest").collect()}
+    assert out == {0: "x", 1: None}
+
+
+def test_transform_chain_profile_and_dynamic_import(spark):
+    df = spark.createDataFrame(
+        [(0, "The Great Archive", "http://h/x"),
+         (1, "", "http://h/y/")],
+        "doc_id long, title string, url string")
+    profile = {"enrichments_item":
+               "sort_title?col=title&dest=k, add_slash?col=url, "
+               "constant?dest=rights&value=cc0"}
+    out = apply_chain(df, chain_from_profile(profile)).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[0]["k"] == "great archive"
+    assert by[1]["k"] == "~title unknown"
+    assert by[0]["url"].endswith("/") and by[1]["url"] == "http://h/y/"
+    assert by[0]["rights"] == "cc0"
+    # dict-form spec + dotted dynamic import both resolve
+    fn = resolve_transform("harvester_spark.functions.nested:project_field")
+    assert fn is project_field
+    out2 = apply_chain(df, [{"transform": "require_fields",
+                             "cols": "title"}]).collect()
+    assert [r["doc_id"] for r in out2] == [0]
+    with pytest.raises(KeyError):
+        resolve_transform("not_registered")
+
+
+def test_media_exists_split(spark):
+    docs = spark.createDataFrame(
+        [(0, "u0"), (1, "u1"), (2, None), (3, "u3")],
+        "doc_id long, media_url string")
+    manifest = spark.createDataFrame([("u0",), ("u3",)],
+                                     "media_url string")
+    kept, omitted = media_exists_split(docs, manifest)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3]
+    assert [r["doc_id"] for r in omitted.collect()] == [1]
