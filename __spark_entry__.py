@@ -504,6 +504,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "title", "sort_key", "url", "rights")
     q["transform_chain"] = transform_chain
 
+    def ark_synthesis(spark, sf):
+        # campus-specific ark synthesis (solr_updater.py:320-359)
+        from harvester_spark.functions.text import ucla_ark, ucsd_ark
+        d = F.col("doc_id")
+        frag = F.when(d % 3 == 0, F.concat(F.lit("bb"), d.cast("string")))
+        mangled = (F.when(d % 3 == 1,
+                          F.concat(F.lit("21198-zz"), d.cast("string")))
+                   .when(d % 3 == 2, F.lit("badid")))
+        return (_docs(spark, sf).filter(d < 200)
+                .select("doc_id",
+                        F.coalesce(ucsd_ark(frag), ucla_ark(mangled),
+                                   F.lit("none")).alias("ark")))
+    q["ark_synthesis"] = ark_synthesis
+
+    def fallback_chain(spark, sf):
+        # 4-way coalesce fallback over alternative source fields
+        # (nuxeo deep-scan href chain)
+        from harvester_spark.functions.text import first_non_blank
+        d = F.col("doc_id")
+        a = F.when(d % 4 == 0, F.concat(F.lit("a:"), F.col("source")))
+        b = F.when(d % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("b:"), F.col("source")))
+        c = F.lit("")
+        fallback = F.concat(F.lit("f:"), d.cast("string"))
+        return (_docs(spark, sf).filter(d < 200)
+                .select("doc_id",
+                        first_non_blank(a, b, c, fallback).alias("href")))
+    q["fallback_chain"] = fallback_chain
+
+    def upsert_tally_q(spark, sf):
+        # created/updated/unchanged sync tally
+        # (couchdb_sync_db_by_collection.py:120-131)
+        from harvester_spark.plans.transforms import upsert_tally
+        docs = _docs(spark, sf)
+        existing = docs.filter(F.col("doc_id") % 5 != 0) \
+                       .select("doc_id", "text")
+        incoming = docs.filter(F.col("doc_id") < 400).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" changed")))
+             .otherwise(F.col("text")).alias("text"))
+        return upsert_tally(existing, incoming, "doc_id", ["text"])
+    q["upsert_tally"] = upsert_tally_q
+
+    def per_collection_chains(spark, sf):
+        # one enrichment chain per collection (couchdb_runner.py:93-164)
+        from harvester_spark.plans.transforms import apply_chains_by_collection
+        src = _docs(spark, sf).filter(F.col("doc_id") < 300).select(
+            "doc_id", "lang", F.col("source").alias("title"))
+        out = apply_chains_by_collection(
+            src, "lang",
+            {"en": ["sort_title?col=title&dest=k",
+                    "constant?dest=rights&value=cc-by"],
+             "fr": ["constant?dest=rights&value=etalab"]},
+            default=["constant?dest=rights&value=unknown"])
+        return (out.select("doc_id", "lang",
+                           F.coalesce(F.col("k"), F.lit("-")).alias("k"),
+                           "rights"))
+    q["per_collection_chains"] = per_collection_chains
+
     def sort_collection_key(spark, sf):
         # composite sort key 'sortname:name:url' (solr_updater.py:576-587)
         return (_docs(spark, sf).filter(F.col("doc_id") < 100)
@@ -952,6 +1012,69 @@ SELECT doc_id, title,
        'public' AS rights
 FROM k
 WHERE title IS NOT NULL AND title <> '' AND url <> ''
+"""
+
+    o["ark_synthesis"] = """
+SELECT doc_id,
+       coalesce(
+         CASE WHEN doc_id % 3 = 0
+              THEN 'ark:/20775/bb' || CAST(doc_id AS VARCHAR) END,
+         CASE WHEN doc_id % 3 = 1
+              THEN 'ark:/21198/zz' || CAST(doc_id AS VARCHAR) END,
+         'none') AS ark
+FROM documents WHERE doc_id < 200
+"""
+
+    o["fallback_chain"] = """
+SELECT doc_id,
+       coalesce(
+         CASE WHEN doc_id % 4 = 0 THEN 'a:' || source END,
+         nullif(CASE WHEN doc_id % 3 = 0 THEN ''
+                     ELSE 'b:' || source END, ''),
+         NULL,
+         'f:' || CAST(doc_id AS VARCHAR)) AS href
+FROM documents WHERE doc_id < 200
+"""
+
+    o["upsert_tally"] = """
+WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+inc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' changed' ELSE text END AS t
+  FROM documents WHERE doc_id < 400),
+j AS (
+  SELECT inc.t, ex.text AS e, ex.doc_id IS NOT NULL AS ex_exists
+  FROM inc LEFT JOIN ex USING (doc_id))
+SELECT count(*) AS n_incoming,
+       sum(CASE WHEN NOT ex_exists THEN 1 ELSE 0 END)::BIGINT AS created,
+       sum(CASE WHEN ex_exists AND t IS DISTINCT FROM e
+                THEN 1 ELSE 0 END)::BIGINT AS updated,
+       sum(CASE WHEN ex_exists AND t IS NOT DISTINCT FROM e
+                THEN 1 ELSE 0 END)::BIGINT AS unchanged
+FROM j
+"""
+
+    o["per_collection_chains"] = r"""
+WITH src AS (
+  SELECT doc_id, lang, source AS title FROM documents WHERE doc_id < 300),
+en AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           trim(regexp_replace(
+             regexp_replace(lower(title), '[^0-9a-z\s]', '', 'g'),
+             '\s+', ' ', 'g')),
+           '^(the|a|an) ', '') AS k0,
+         'cc-by' AS rights
+  FROM src WHERE lang = 'en'),
+en2 AS (
+  SELECT doc_id, lang,
+         CASE WHEN k0 = '' THEN '~title unknown' ELSE k0 END AS k, rights
+  FROM en),
+fr AS (SELECT doc_id, lang, '-' AS k, 'etalab' AS rights
+       FROM src WHERE lang = 'fr'),
+rest AS (SELECT doc_id, lang, '-' AS k, 'unknown' AS rights
+         FROM src WHERE lang NOT IN ('en', 'fr'))
+SELECT * FROM en2 UNION ALL SELECT * FROM fr UNION ALL SELECT * FROM rest
 """
 
     o["sort_collection_key"] = r"""

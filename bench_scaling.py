@@ -166,7 +166,10 @@ def main() -> None:
                "scaling_efficiency": round(eff, 3)}
     print(json.dumps(summary))
 
-    bench_md = REPO / "BENCH.md"
+    # one raw-results file per level-pair; BENCH.md itself is curated by
+    # hand from these (it aggregates several pairs + ceiling controls)
+    bench_md = REPO / ".bench" / f"scaling_{levels[0]}_{levels[1]}.md"
+    bench_md.parent.mkdir(exist_ok=True)
     bench_md.write_text(f"""# BENCH — measured performance (this sandbox)
 
 ## Index-build scaling: local[{levels[0]}] vs local[{levels[1]}], identical input

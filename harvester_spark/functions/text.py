@@ -79,6 +79,36 @@ def normalize_type(col: str | Column) -> Column:
             .otherwise(c))
 
 
+def first_non_blank(*cols: str | Column) -> Column:
+    """Fallback-chain projection: first non-null, non-empty value — the
+    Nuxeo deep-scan 4-way coalesce over alternative source fields
+    (harvester/fetcher/nuxeo_fetcher.py href fallbacks) and every
+    try-in-order field access in the mapping layer."""
+    normed = [F.nullif(
+        F.col(c) if isinstance(c, str) else c, F.lit("")) for c in cols]
+    return F.coalesce(*normed)
+
+
+def ucsd_ark(frag: str | Column) -> Column:
+    """UCSD ark synthesis (harvester/solr_updater.py:320-333):
+    ``ark:/20775/<object id>``; NULL passes through."""
+    c = F.col(frag) if isinstance(frag, str) else frag
+    return F.when(c.isNotNull(), F.concat(F.lit("ark:/20775/"), c))
+
+
+def ucla_ark(mangled: str | Column) -> Column:
+    """UCLA ark synthesis (harvester/solr_updater.py:337-359): MODS record
+    identifiers arrive as 'NAAN-arkid' (e.g. '21198-zz002b1833') →
+    'ark:/NAAN/arkid'. Inputs without exactly one '-' yield NULL, like the
+    reference's split-failure path."""
+    c = F.col(mangled) if isinstance(mangled, str) else mangled
+    naan = F.split(c, "-")[0]
+    arkid = F.split(c, "-")[1]
+    ok = c.isNotNull() & (F.size(F.split(c, "-")) == 2) & (naan != "") \
+        & (arkid != "")
+    return F.when(ok, F.concat(F.lit("ark:/"), naan, F.lit("/"), arkid))
+
+
 def dedupe_list(col: str | Column) -> Column:
     """Order-preserving first-wins in-list dedup
     (harvester/post_processing/dedupe_sourceresource.py:4-17):

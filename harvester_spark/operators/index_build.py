@@ -33,6 +33,14 @@ enforce decoded-content equality salted vs unsalted.
 Vectorization: tokenization + TF via pyarrow kernels; pack/merge encode via
 numpy (single varint stream per batch, sliced per pack/block). No per-row
 Python anywhere.
+
+INVARIANT: ``doc_id`` must be UNIQUE across the corpus (use
+operators/docids.assign_doc_ids). Duplicate ids silently merge distinct
+documents' postings: their BM25 contributions SUM in scoring, which both
+inflates scores and breaks the block-max bound (a doc's summed score can
+exceed every block's UB → pruning drops true top-k docs). Found the hard
+way: a corpus produced by the pre-fix nondeterministic assign_doc_ids had
+3% duplicated ids and pruned queries returned empty at 300k docs.
 """
 
 from __future__ import annotations
@@ -360,15 +368,46 @@ def _decode_packs(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _carry_merge(arranged: DataFrame, prep, k1: float, b: float,
+                 avgdl: float, block_size: int) -> DataFrame:
+    """Stream (term, salt)-sorted batches into block rows, carrying the
+    trailing group across Arrow-batch boundaries so a group is always
+    encoded whole. (Grouped-map applyInPandas would materialize one pandas
+    frame per group — collapses under millions of single-pack terms.)
+    ``prep`` maps a batch slice to sorted (term, salt, doc_id, tf, dl)."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["salt"].iloc[-1]
+            tail = (pdf["term"] == last_t) & (pdf["salt"] == last_s)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _encode_blocks(prep(body), k1, b, avgdl,
+                                     block_size, part_id)
+        if carry is not None and len(carry):
+            yield _encode_blocks(prep(carry.reset_index(drop=True)),
+                                 k1, b, avgdl, block_size, part_id)
+
+    return arranged.mapInPandas(merge, schema=POSTINGS_SCHEMA)
+
+
 def merge_packs(packs: DataFrame, hot_salts: dict[str, int], avgdl: float,
                 cfg: IndexConfig) -> DataFrame:
     """Shuffle packs by (term, salt) and merge into final posting blocks.
 
     ``hot_salts``: term → number of salt buckets (1 for normal terms).
     A pack's salt = part_id % s(term), so a hot term's merge work spreads
-    across s tasks instead of one. Groups are processed by a mapInPandas
-    with carry (grouped-map applyInPandas would materialize one pandas
-    frame per group — collapses under millions of single-pack terms).
+    across s tasks instead of one.
     """
     spark = packs.sparkSession
     hot_items = list(hot_salts.items())
@@ -389,32 +428,103 @@ def merge_packs(packs: DataFrame, hot_salts: dict[str, int], avgdl: float,
         spark.conf.get("spark.sql.shuffle.partitions"))
     arranged = (salted.repartition(num_parts, "term", "salt")
                 .sortWithinPartitions("term", "salt", "doc_id_first"))
+    return _carry_merge(arranged, _decode_packs, cfg.k1, cfg.b, avgdl,
+                        cfg.block_size)
 
-    k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
 
-    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-        ctx = TaskContext.get()
-        part_id = ctx.partitionId() if ctx else -1
-        carry: pd.DataFrame | None = None
+ROWS_SCHEMA = ("term string, salt int, doc_id long, tf long, dl long")
+
+
+def decode_postings(postings: DataFrame) -> DataFrame:
+    """Posting blocks → raw (term, salt, doc_id, tf, dl) rows, fully
+    vectorized (shared varint machinery with the pack decoder). The
+    building block for segment merges: an index can be re-built from its
+    own postings without touching document content."""
+    sel = postings.select("term", "salt", "doc_count", "doc_id_first",
+                          F.col("deltas").alias("ids"), "tfs", "dls")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_t = pdf["term"].iloc[-1]
-            last_s = pdf["salt"].iloc[-1]
-            tail = (pdf["term"] == last_t) & (pdf["salt"] == last_s)
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                yield _encode_blocks(_decode_packs(body), k1, b, avgdl,
-                                     block_size, part_id)
-        if carry is not None and len(carry):
-            yield _encode_blocks(_decode_packs(carry.reset_index(drop=True)),
-                                 k1, b, avgdl, block_size, part_id)
+            if len(pdf):
+                yield _decode_packs(pdf)
 
-    return arranged.mapInPandas(merge, schema=POSTINGS_SCHEMA)
+    return sel.mapInPandas(dec, schema=ROWS_SCHEMA)
+
+
+def rows_to_blocks(rows: DataFrame, avgdl: float,
+                   cfg: IndexConfig) -> DataFrame:
+    """Raw posting rows → final compressed blocks (one (term, salt)
+    shuffle + streaming encode). Salts are preserved, so hot-term spreading
+    carries through segment merges."""
+    spark = rows.sparkSession
+    num_parts = cfg.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (rows.repartition(num_parts, "term", "salt")
+                .sortWithinPartitions("term", "salt", "doc_id"))
+    return _carry_merge(arranged, lambda body: body, cfg.k1, cfg.b, avgdl,
+                        cfg.block_size)
+
+
+def build_index_from_rows(spark: SparkSession, rows: DataFrame,
+                          index_dir: str | Path, *,
+                          cfg: IndexConfig | None = None,
+                          run_id: str = "merge0") -> None:
+    """Materialize a full index directory (stats/dictionary/postings/
+    term_ub/lineage, same layout as :func:`build_index`) from raw posting
+    rows — the segment-merge path: no document content needed.
+
+    Stats note: N counts distinct posting-bearing docs; a zero-token doc
+    (unqueryable either way) that was counted by its original segment's
+    build drops out of the merged stats."""
+    cfg = cfg or IndexConfig()
+    index_dir = Path(index_dir)
+    index_dir.mkdir(parents=True, exist_ok=True)
+
+    rows = rows.persist()
+    stats = rows.agg(
+        F.count_distinct("doc_id").alias("n"),
+        F.sum("tf").alias("total")).collect()[0]
+    n_docs = int(stats["n"] or 0)
+    total = int(stats["total"] or 0)
+    avgdl = (total / n_docs) if n_docs else 0.0
+
+    st = index_dir / "stats"
+    st.mkdir(parents=True, exist_ok=True)
+    (st / "_table_meta.json").write_text(json.dumps(
+        {"N": n_docs, "avgdl": avgdl, "total_tokens": total,
+         "k1": cfg.k1, "b": cfg.b}))
+    (st / tables.SUCCESS_MARKER).touch()
+
+    dic = (rows.groupBy("term")
+           .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+           .withColumn("idf", F.log(
+               F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+               / (F.col("df") + 0.5))))
+    tables.write_table(dic, index_dir / "dictionary", sort_cols=["term"])
+
+    meta = {"avgdl": avgdl, "N": n_docs, "k1": cfg.k1, "b": cfg.b,
+            "block_size": cfg.block_size, "merged": True}
+    tables.write_table(rows_to_blocks(rows, avgdl, cfg),
+                       index_dir / "postings", sort_cols=["term"], meta=meta)
+    rows.unpersist()
+
+    postings = tables.read_table(spark, index_dir / "postings")
+    ub = postings.groupBy("term").agg(
+        F.max("block_max_tfnorm").alias("max_tfnorm"),
+        F.count("*").alias("n_blocks"))
+    tables.write_table(ub, index_dir / "term_ub", sort_cols=["term"])
+
+    lin = (postings.groupBy("part_id")
+           .agg(F.min("term").alias("term_min"),
+                F.max("term").alias("term_max"),
+                F.countDistinct("term").alias("terms"),
+                F.sum("doc_count").alias("postings"),
+                F.count("*").alias("blocks"),
+                F.sum(F.length("deltas") + F.length("tfs")
+                      + F.length("dls")).alias("bytes_encoded"))
+           .withColumn("run_id", F.lit(run_id))
+           .withColumn("status", F.lit("complete")))
+    tables.write_table(lin, index_dir / "lineage")
 
 
 # --------------------------------------------------------------------------

@@ -5,13 +5,17 @@ content-type checks :67-102, md5 dedup cache :196-257); here the whole
 multimodal path is in-engine: binary payload + typed metadata struct,
 processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 
-The actual codec work (image decode, resampling, frame extraction) needs
-libraries this container doesn't ship (Pillow/ffmpeg), so the decode kernel
-is STUBBED — ``decode_stub_features`` produces deterministic fake features
-from the payload bytes so the Spark-side plumbing (schema, partitioning,
-UDF signature, Arrow batch shape) is real and tested, and a real decoder
-drops in by replacing one function. Attempting ``decode_real`` raises
-NotImplementedError by design.
+Decode support comes in two tiers:
+
+- REAL decoders for the uncompressed formats that need no external
+  libraries: PPM (P6) images via numpy and PCM WAV audio via the stdlib
+  ``wave`` module — full decode → features → resize/re-encode paths,
+  exercised end-to-end in tests.
+- Compressed codecs (JPEG/PNG/MP4) need libraries this container doesn't
+  ship (Pillow/ffmpeg); for those mimes ``decode_real`` raises
+  NotImplementedError by design and ``decode_stub_features`` provides the
+  deterministic stand-in so the Spark-side plumbing (schema, partitioning,
+  UDF signature, Arrow batch shape) stays real and tested either way.
 """
 
 from __future__ import annotations
@@ -46,26 +50,138 @@ FEATURE_SCHEMA = StructType([
 FEATURE_DIM = 16
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Pure numpy, no libraries."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts: list[int] = []
+    pos = 2
+    while len(parts) < 3:
+        while payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end:end + 1].isspace():
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib wave)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 mono samples in [-1, 1], sample rate)."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        rate = wv.getframerate()
+        n = wv.getnframes()
+        raw = np.frombuffer(wv.readframes(n), dtype="<i2")
+        if wv.getnchannels() > 1:
+            raw = raw.reshape(-1, wv.getnchannels()).mean(axis=1)
+    return raw.astype(np.float64) / 32768.0, rate
+
+
+def box_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (index gather per axis)."""
+    h, w, _ = img.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
 def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media rows (binary payloads) for tests/bench."""
+    """Deterministic media rows: REAL decodable payloads for the
+    library-free formats (P6 PPM images, PCM WAV audio) interleaved with
+    opaque compressed-format rows for the stub path."""
     rng = np.random.default_rng(seed)
-    mimes = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
     rows = []
     for i in range(n):
-        payload = rng.bytes(64 + int(rng.integers(0, 256)))
-        m = mimes[i % len(mimes)]
-        rows.append((i, m, bytearray(payload),
-                     int(rng.integers(16, 4096)) if m.startswith("image") else None,
-                     int(rng.integers(16, 4096)) if m.startswith("image") else None,
-                     int(rng.integers(100, 10_000)) if not m.startswith("image") else None))
+        kind = i % 4
+        if kind == 0:  # real PPM image
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image/x-portable-pixmap",
+                         bytearray(encode_ppm(img)), w, h, None))
+        elif kind == 2:  # real WAV audio
+            dur_ms = int(rng.integers(100, 1000))
+            t = np.arange(int(16_000 * dur_ms / 1000))
+            freq = float(rng.integers(100, 2000))
+            samples = (10_000 * np.sin(2 * np.pi * freq * t / 16_000))
+            rows.append((i, "audio/wav",
+                         bytearray(encode_wav(samples.astype(np.int16))),
+                         None, None, dur_ms))
+        else:  # opaque compressed payloads (stub path)
+            m = "image/jpeg" if kind == 1 else "video/mp4"
+            payload = rng.bytes(64 + int(rng.integers(0, 256)))
+            rows.append((i, m, bytearray(payload),
+                         int(rng.integers(16, 4096)) if kind == 1 else None,
+                         int(rng.integers(16, 4096)) if kind == 1 else None,
+                         int(rng.integers(100, 10_000)) if kind == 3 else None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode kernel — requires media libraries not in this container."""
+    """Real decode → FEATURE_DIM floats for library-free formats.
+
+    PPM image: [w, h, mean/std per RGB channel, 8-bin brightness histogram]
+    WAV audio: [duration_s, rate/48k, rms, zero-crossing rate, peak,
+                8 log-spaced rFFT band energies, 3 zeros]
+    Compressed codecs (JPEG/PNG/MP4) require Pillow/ffmpeg — unavailable in
+    this container — and raise NotImplementedError by design."""
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        img = decode_ppm(payload)
+        h, w, _ = img.shape
+        f = img.reshape(-1, 3).astype(np.float64)
+        hist = np.histogram(f.mean(axis=1), bins=8, range=(0, 256))[0]
+        hist = hist / max(1, f.shape[0])
+        out = np.concatenate(([w, h], f.mean(axis=0) / 255.0,
+                              f.std(axis=0) / 255.0, hist))
+        return out[:FEATURE_DIM].astype(np.float32)
+    if mime == "audio/wav":
+        x, rate = decode_wav(payload)
+        n = max(1, x.size)
+        rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+        zcr = float((np.diff(np.signbit(x)) != 0).mean()) if x.size > 1 else 0.0
+        peak = float(np.abs(x).max()) if x.size else 0.0
+        spec = np.abs(np.fft.rfft(x))
+        edges = np.unique(np.geomspace(1, max(2, spec.size - 1), 9)
+                          .astype(int))
+        bands = np.zeros(8)
+        for bi in range(min(8, len(edges) - 1)):
+            seg = spec[edges[bi]:edges[bi + 1]]
+            bands[bi] = float(np.log1p(seg.sum()))
+        out = np.concatenate(([n / rate, rate / 48_000.0, rms, zcr, peak],
+                              bands, [0.0, 0.0, 0.0]))
+        return out[:FEATURE_DIM].astype(np.float32)
     raise NotImplementedError(
-        "image/audio decode libraries are not available in this environment; "
-        "swap in Pillow/librosa/ffmpeg here on a real cluster")
+        f"decode for {mime!r} needs media libraries not available in this "
+        "environment; swap in Pillow/librosa/ffmpeg here on a real cluster")
 
 
 def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
@@ -78,12 +194,24 @@ def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
     return ((raw % 10_000) / 10_000.0).astype(np.float32)
 
 
-def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
+REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav"}
+
+
+def extract_features(media: DataFrame, *,
+                     use_stub: bool | str = "auto") -> DataFrame:
     """media table → per-item feature rows, Arrow-batched.
 
-    The UDF processes whole Arrow batches; per-item work is the decode
-    kernel itself (unavoidably per-payload — codecs are not columnar)."""
-    kernel = decode_stub_features if use_stub else decode_real
+    ``use_stub``: True = stub everywhere; False = decode_real everywhere
+    (raises for compressed mimes); "auto" (default) = real decode for the
+    library-free formats, stub for the rest. The UDF processes whole Arrow
+    batches; per-item work is the decode kernel itself (unavoidably
+    per-payload — codecs are not columnar)."""
+    def kernel(p: bytes, m: str) -> np.ndarray:
+        if use_stub is True:
+            return decode_stub_features(p, m)
+        if use_stub == "auto" and m not in REAL_DECODE_MIMES:
+            return decode_stub_features(p, m)
+        return decode_real(p, m)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,19 +233,31 @@ def extract_features(media: DataFrame, *, use_stub: bool = True) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int,
-                  *, use_stub: bool = True) -> DataFrame:
-    """Image resize plumbing: filters to image/*, maps payload→payload.
-    Stub 'resize' = identity payload + updated metadata (real kernel would
-    re-encode); demonstrates binary-in/binary-out UDF shape."""
+                  *, use_stub: bool | str = "auto") -> DataFrame:
+    """Image resize: filters to image/*, maps payload→payload.
+
+    PPM payloads get a REAL decode → nearest-neighbor resize → re-encode
+    (pure numpy); compressed formats keep the stub identity payload with
+    updated metadata (real kernel = Pillow drop-in). Binary-in/binary-out
+    UDF shape either way."""
     imgs = media.filter(F.col("mime").startswith("image/"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            if not use_stub:
-                decode_real(b"", "")
             out = pdf.copy()
+            if use_stub is not True:
+                payloads = []
+                for p, m in zip(out["payload"], out["mime"]):
+                    if m in REAL_DECODE_MIMES:
+                        payloads.append(bytearray(encode_ppm(
+                            box_resize(decode_ppm(bytes(p)), width, height))))
+                    elif use_stub == "auto":
+                        payloads.append(p)
+                    else:
+                        decode_real(bytes(p), m)  # raises: no codec libs
+                out["payload"] = payloads
             out["width"] = np.int32(width)
             out["height"] = np.int32(height)
             yield out

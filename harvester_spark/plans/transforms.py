@@ -153,6 +153,68 @@ _register_builtins()
 # media-exists predicate (solr_updater.py:665-685 check_nuxeo_media)
 # ---------------------------------------------------------------------------
 
+class NotReadyForPublication(RuntimeError):
+    pass
+
+
+def assert_ready_for_publication(profile: dict, env: str = "prod") -> None:
+    """Job precondition guard (harvester/run_ingest.py:119-124 and
+    couchdb_sync_db_by_collection.py:110-116): in a production branch a
+    collection must be explicitly marked ready."""
+    if "prod" in env.lower() and not profile.get("ready_for_publication"):
+        raise NotReadyForPublication(
+            f"collection {profile.get('name', '?')!r} is not ready for "
+            "publication — run on stage and QA first")
+
+
+def apply_chains_by_collection(df: DataFrame, key_col: str,
+                               chains: dict, default: list | None = None
+                               ) -> DataFrame:
+    """Per-collection enrichment chains — the reference's core execution
+    shape (one profile per collection, couchdb_runner.py:93-164). Rows are
+    routed to their collection's chain; unmatched rows get ``default`` (or
+    pass through). Result is a union of per-chain plans; schemas are
+    aligned by name (chains may add different columns)."""
+    parts = []
+    for key, chain in chains.items():
+        parts.append(apply_chain(df.filter(F.col(key_col) == key), chain))
+    rest = df.filter(~F.col(key_col).isin(list(chains)))
+    parts.append(apply_chain(rest, default) if default else rest)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def upsert_tally(existing: DataFrame, incoming: DataFrame, key: str,
+                 compare_cols: list[str]) -> DataFrame:
+    """Created-vs-updated-vs-unchanged tally for a sync batch
+    (couchdb_sync_db_by_collection.py:120-131 counts 'created' vs
+    'updated' messages; here one outer-join aggregation instead of a
+    per-doc HTTP loop). Returns one row: (n_incoming, created, updated,
+    unchanged)."""
+    ex = existing.select(F.col(key).alias("__k"),
+                         F.lit(True).alias("__exists"),
+                         *[F.col(c).alias(f"__e_{c}") for c in compare_cols])
+    inc = incoming.select(F.col(key).alias("__k"),
+                          *[F.col(c).alias(f"__i_{c}") for c in compare_cols])
+    joined = inc.join(ex, "__k", "left")
+    is_created = F.col("__exists").isNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & (F.col(f"__i_{c}").eqNullSafe(F.col(f"__e_{c}")))
+    status = (F.when(is_created, "created")
+              .when(same, "unchanged").otherwise("updated"))
+    return (joined.select(status.alias("s"))
+            .agg(F.count("*").alias("n_incoming"),
+                 F.sum(F.when(F.col("s") == "created", 1).otherwise(0))
+                 .alias("created"),
+                 F.sum(F.when(F.col("s") == "updated", 1).otherwise(0))
+                 .alias("updated"),
+                 F.sum(F.when(F.col("s") == "unchanged", 1).otherwise(0))
+                 .alias("unchanged")))
+
+
 def media_exists_split(docs: DataFrame, manifest: DataFrame,
                        key: str = "media_url"
                        ) -> tuple[DataFrame, DataFrame]:

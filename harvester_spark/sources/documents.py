@@ -49,9 +49,14 @@ def keyset_page(df: DataFrame, *, order_col: str = "doc_id",
 
 def iterate_keyset(df: DataFrame, *, order_col: str = "doc_id",
                    page_size: int = 100):
-    """Generator over keyset pages (driver-side cursor loop, like the
-    reference's fetcher __iter__ contract, harvester/fetcher/fetcher.py:9-24).
-    Each yield is a collected page; stops when a short page arrives."""
+    """COMPAT-ONLY generator over keyset pages (driver-side cursor loop,
+    like the reference's fetcher __iter__ contract,
+    harvester/fetcher/fetcher.py:9-24). Each page is its own Spark job:
+    the ``> cursor`` filter is pushed to the scan (row-group pruning on a
+    sorted table) and the top-N plans as TakeOrderedAndProject, but cost
+    is still O(pages × remaining-scan) — right for RESUMING a cursor near
+    the end of a table, wrong for draining one. To drain, use
+    :func:`iterate_keyset_stream` (one pass, one job)."""
     cursor = None
     while True:
         rows = keyset_page(df, order_col=order_col, after=cursor,
@@ -62,6 +67,28 @@ def iterate_keyset(df: DataFrame, *, order_col: str = "doc_id",
         if len(rows) < page_size:
             return
         cursor = rows[-1][order_col]
+
+
+def iterate_keyset_stream(df: DataFrame, *, order_col: str = "doc_id",
+                          after: int | None = None, page_size: int = 100):
+    """One-pass keyset drain: range-partition + sort once, then stream
+    partitions to the driver in key order (``toLocalIterator`` fetches one
+    partition at a time — driver memory stays O(partition), and the whole
+    drain is a single scan instead of one job per page). Yields the same
+    deterministic pages as :func:`iterate_keyset`."""
+    src = df
+    if after is not None:
+        src = src.filter(F.col(order_col) > after)
+    ordered = (src.repartitionByRange(F.col(order_col))
+               .sortWithinPartitions(order_col))
+    page: list = []
+    for row in ordered.toLocalIterator(prefetchPartitions=True):
+        page.append(row)
+        if len(page) == page_size:
+            yield page
+            page = []
+    if page:
+        yield page
 
 
 def write_jsonl_pages(df: DataFrame, path: str, *,

@@ -53,9 +53,31 @@ def last_seq(root: str | Path) -> int:
     return int(p.read_text()) if p.exists() else 0
 
 
+def _read_segments(root: Path) -> list[str] | None:
+    """Active delta-segment names from the atomic pointer file (None =
+    pointer not yet written → fall back to directory glob)."""
+    p = root / "segments.json"
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def _write_segments(root: Path, names: list[str]) -> None:
+    """Atomic pointer swap (tmp + rename): readers see either the old or
+    the new segment list, never a partial one. This is what lets a merge
+    supersede N delta dirs in ONE commit point."""
+    tmp = root / "segments.json.__tmp__"
+    tmp.write_text(json.dumps(sorted(set(names))))
+    tmp.rename(root / "segments.json")
+
+
 def _delta_dirs(root: Path) -> list[Path]:
-    return sorted(d for d in root.glob("delta_*") if tables.is_committed(
-        d / "postings"))
+    names = _read_segments(root)
+    if names is None:
+        return sorted(d for d in root.glob("delta_*")
+                      if tables.is_committed(d / "postings"))
+    return [root / n for n in names
+            if tables.is_committed(root / n / "postings")]
 
 
 def _tombstone_segments(root: Path) -> list[tuple[Path, int]]:
@@ -108,6 +130,8 @@ def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
     if upserts.limit(1).count() > 0:
         build_index(spark, upserts, delta_dir, content_col=content_col,
                     cfg=cfg)
+        _write_segments(root, [d.name for d in _delta_dirs(root)]
+                        + [delta_dir.name])
     # commit point: last_seq advance (a crash before this point re-applies
     # the batch; every stage above overwrites idempotently)
     (root / "last_seq").write_text(str(seq))
@@ -152,6 +176,68 @@ def query_topk_incremental(spark: SparkSession, root: str | Path, query: str,
     return (allscores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def merge_deltas(spark: SparkSession, root: str | Path, *,
+                 cfg: IndexConfig | None = None) -> Path | None:
+    """Size-tiered delta merge: fold ALL current delta segments into one,
+    WITHOUT document content (decode postings → drop tombstoned docs →
+    re-encode; Lucene's segment merge, content-free).
+
+    The merged segment's stats are recomputed from its live postings, so
+    querying it is rank-identical to a fresh index built over the same
+    live documents. Commit protocol: the merged index is fully built under
+    a new unique dir first; the single commit point is the atomic
+    ``segments.json`` swap that supersedes the old deltas. A crash before
+    the swap leaves an orphan dir and the old (still correct) segment
+    list; orphans are cleared at :func:`compact`. Old dirs are removed
+    only AFTER the swap (single-writer assumed, like the reference's
+    one-worker-per-collection queue, harvester/config.py:16-23).
+    Returns the merged dir (None when <2 deltas)."""
+    import shutil
+
+    from harvester_spark.operators.index_build import (
+        build_index_from_rows, decode_postings)
+
+    root = Path(root)
+    deltas = _delta_dirs(root)
+    if len(deltas) < 2:
+        return None
+    gen = len(list(root.glob("delta_*_m*"))) + 1
+    max_seq = max(int(d.name.split("_")[1]) for d in deltas)
+    out = root / f"delta_{max_seq:08d}_m{gen}"
+
+    parts = []
+    for d in deltas:
+        seq = int(d.name.split("_")[1])
+        rows = decode_postings(tables.read_table(spark, d / "postings"))
+        tomb = tombstoned_ids(spark, root, after_seq=seq)
+        if tomb is not None:
+            rows = rows.join(F.broadcast(tomb), "doc_id", "left_anti")
+        parts.append(rows)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+
+    build_index_from_rows(spark, merged, out, cfg=cfg,
+                          run_id=f"merge{gen}")
+    # commit point: supersede the old deltas in one pointer swap
+    _write_segments(root, [out.name])
+    for d in deltas:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def maybe_compact(spark: SparkSession, root: str | Path, *,
+                  max_deltas: int = 4,
+                  cfg: IndexConfig | None = None) -> bool:
+    """The compaction POLICY the reference leaves to Solr commits: when the
+    delta count reaches ``max_deltas``, merge them (keeps per-query segment
+    fan-out — and tombstone scan cost — bounded under a continuous CDC
+    feed). Returns True when a merge ran."""
+    if len(_delta_dirs(Path(root))) >= max_deltas:
+        return merge_deltas(spark, root, cfg=cfg) is not None
+    return False
+
+
 def compact(spark: SparkSession, root: str | Path, live_docs: DataFrame, *,
             content_col: str = "content",
             cfg: IndexConfig | None = None) -> None:
@@ -174,6 +260,9 @@ def compact(spark: SparkSession, root: str | Path, live_docs: DataFrame, *,
     tomb = root / "tombstones"
     if tomb.exists():
         shutil.rmtree(tomb)
+    seg = root / "segments.json"
+    if seg.exists():
+        seg.unlink()
 
 
 # ---------------------------------------------------------------------------

@@ -160,3 +160,58 @@ def test_tombstone_segments_survive_partial_batch(spark, base_docs, tmp_path):
     assert inc.last_seq(root) == 2
     res = inc.query_topk_incremental(spark, root, "import", 500).toPandas()
     assert not ({1, 2} & set(res["doc_id"]))
+
+
+def test_merge_deltas_rank_identical_to_fresh_build(spark, base_docs, tmp_path):
+    """Size-tiered delta merge: N delta segments fold into one WITHOUT
+    content; querying the merged segment is rank-identical to a fresh
+    index built over the same live docs, and incremental queries stay
+    correct afterward."""
+    from harvester_spark.operators.bm25 import query_topk_index
+
+    root = tmp_path / "root_merge"
+    inc.init_root(spark, base_docs, root, cfg=CFG)
+
+    batches = [
+        [(300, False, "zz_m import def alpha"), (301, False, "zz_m beta")],
+        [(302, False, "zz_m gamma import"), (0, True, None)],
+        [(301, False, "zz_m beta UPDATED import"), (303, False, "delta zz_m")],
+    ]
+    for i, rows in enumerate(batches, start=1):
+        ch = spark.createDataFrame(
+            rows, "doc_id long, deleted boolean, content string")
+        inc.apply_changes(spark, root, ch, seq=i, cfg=CFG)
+    before = inc.query_topk_incremental(spark, root, "zz_m", 10).toPandas()
+
+    assert inc.maybe_compact(spark, root, max_deltas=3, cfg=CFG)
+    deltas = inc._delta_dirs(root)
+    assert len(deltas) == 1 and "_m1" in deltas[0].name
+
+    # merged segment alone == fresh build over its live docs
+    live = spark.createDataFrame(
+        [(300, "zz_m import def alpha"), (302, "zz_m gamma import"),
+         (301, "zz_m beta updated import"), (303, "delta zz_m")],
+        "doc_id long, content string")
+    fresh_dir = tmp_path / "fresh"
+    from harvester_spark.operators.index_build import build_index
+    build_index(spark, live, fresh_dir, cfg=CFG)
+    got = query_topk_index(spark, deltas[0], "zz_m import", 10,
+                           prune=False).toPandas()
+    want = query_topk_index(spark, fresh_dir, "zz_m import", 10,
+                            prune=False).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    import numpy as np
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0)
+
+    # same live docs returned after the merge (ORDER may legitimately
+    # change for docs that lived in different deltas: per-segment stats
+    # become combined stats — Lucene's convention, where merges re-scale
+    # scores; rank-identity is to the fresh build, asserted above)
+    after = inc.query_topk_incremental(spark, root, "zz_m", 10).toPandas()
+    assert set(after["doc_id"]) == set(before["doc_id"])
+    # doc 0 (deleted pre-merge) stays gone; post-merge deletes still work
+    ch = spark.createDataFrame([(303, True, None)],
+                               "doc_id long, deleted boolean, content string")
+    inc.apply_changes(spark, root, ch, seq=4, cfg=CFG)
+    res = inc.query_topk_incremental(spark, root, "zz_m", 10).toPandas()
+    assert 303 not in set(res["doc_id"]) and 0 not in set(res["doc_id"])

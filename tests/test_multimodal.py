@@ -31,7 +31,7 @@ def test_extract_features_shape_and_determinism(media):
 def test_resize_plumbing(media):
     out = resize_images(media, 224, 224).toPandas()
     assert (out["width"] == 224).all() and (out["height"] == 224).all()
-    assert set(out["mime"]) <= {"image/png", "image/jpeg"}
+    assert set(out["mime"]) <= {"image/x-portable-pixmap", "image/jpeg"}
 
 
 def test_sample_frames(media):
@@ -46,3 +46,44 @@ def test_sample_frames(media):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_real(b"xx", "image/png")
+
+
+def test_ppm_roundtrip_and_real_resize():
+    import numpy as np
+    from harvester_spark.operators.multimodal import (box_resize, decode_ppm,
+                                                      encode_ppm)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    small = box_resize(img, 8, 5)
+    assert small.shape == (5, 8, 3)
+
+
+def test_wav_roundtrip_features():
+    import numpy as np
+    from harvester_spark.operators.multimodal import (decode_real, decode_wav,
+                                                      encode_wav)
+    t = np.arange(16_000)  # 1 second at 16 kHz
+    samples = (10_000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    x, rate = decode_wav(encode_wav(samples))
+    assert rate == 16_000 and x.size == 16_000
+    f = decode_real(encode_wav(samples), "audio/wav")
+    assert len(f) == FEATURE_DIM
+    assert abs(f[0] - 1.0) < 1e-3          # duration_s
+    assert abs(f[2] - 10_000 / 32768 / np.sqrt(2)) < 1e-3  # sine RMS
+
+
+def test_real_image_features(spark, media):
+    import numpy as np
+    out = extract_features(media, use_stub="auto").toPandas()
+    raw = media.toPandas().set_index("media_id")
+    for r in out.itertuples(index=False):
+        if r.mime == "image/x-portable-pixmap":
+            w, h = raw.loc[r.media_id, "width"], raw.loc[r.media_id, "height"]
+            assert r.features[0] == w and r.features[1] == h
+    # real resize changes payload bytes for PPMs
+    rz = resize_images(media, 10, 10, use_stub="auto").toPandas()
+    for r in rz.itertuples(index=False):
+        if r.mime == "image/x-portable-pixmap":
+            from harvester_spark.operators.multimodal import decode_ppm
+            assert decode_ppm(bytes(r.payload)).shape == (10, 10, 3)

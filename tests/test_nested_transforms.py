@@ -156,3 +156,58 @@ def test_media_exists_split(spark):
     kept, omitted = media_exists_split(docs, manifest)
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3]
     assert [r["doc_id"] for r in omitted.collect()] == [1]
+
+
+def test_ark_synthesis_and_fallback(spark):
+    from harvester_spark.functions.text import (first_non_blank, ucla_ark,
+                                                ucsd_ark)
+    df = spark.createDataFrame(
+        [(0, "bb123", "21198-zz99", "", "x"),
+         (1, None, "badid", "", "y"),
+         (2, None, None, "direct", "z")],
+        "i long, frag string, mangled string, alt string, last string")
+    got = df.select(
+        "i", ucsd_ark("frag").alias("u"), ucla_ark("mangled").alias("l"),
+        first_non_blank("alt", "last").alias("fb")).collect()
+    by = {r["i"]: r for r in got}
+    assert by[0]["u"] == "ark:/20775/bb123"
+    assert by[0]["l"] == "ark:/21198/zz99"
+    assert by[1]["u"] is None and by[1]["l"] is None  # split failure -> NULL
+    assert by[1]["fb"] == "y" and by[2]["fb"] == "direct"
+
+
+def test_ready_for_publication_guard():
+    from harvester_spark.plans.transforms import (NotReadyForPublication,
+                                                  assert_ready_for_publication)
+    assert_ready_for_publication({"ready_for_publication": True}, env="prod")
+    assert_ready_for_publication({}, env="stage")  # non-prod: no guard
+    with pytest.raises(NotReadyForPublication):
+        assert_ready_for_publication({"name": "c1"}, env="prod")
+
+
+def test_upsert_tally(spark):
+    from harvester_spark.plans.transforms import upsert_tally
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(1, "a"),          # unchanged
+         (2, "B"),          # updated
+         (3, None),         # unchanged (null-safe compare)
+         (4, "new")],       # created
+        "doc_id long, text string")
+    r = upsert_tally(existing, incoming, "doc_id", ["text"]).collect()[0]
+    assert (r["n_incoming"], r["created"], r["updated"], r["unchanged"]) \
+        == (4, 1, 1, 2)
+
+
+def test_apply_chains_by_collection(spark):
+    from harvester_spark.plans.transforms import apply_chains_by_collection
+    df = spark.createDataFrame(
+        [(0, "en", "The X"), (1, "fr", "Le Y"), (2, "de", "Z")],
+        "doc_id long, lang string, title string")
+    out = apply_chains_by_collection(
+        df, "lang",
+        {"en": ["sort_title?col=title&dest=k"]},
+        default=["constant?dest=k&value=-"]).collect()
+    by = {r["doc_id"]: r["k"] for r in out}
+    assert by[0] == "x" and by[1] == "-" and by[2] == "-"

@@ -57,3 +57,21 @@ def test_build_status_and_lineage(spark, index_dir):
     assert summ["N"] == 400
     lin = read_lineage(spark, index_dir)
     assert lin.count() == summ["partitions"]
+
+
+def test_iterate_keyset_stream_matches_paged(spark):
+    """One-pass drain must yield the exact pages of the per-page cursor."""
+    from pyspark.sql import functions as F
+
+    from harvester_spark.sources.documents import iterate_keyset_stream
+    df = spark.range(0, 537).select(F.col("id").alias("doc_id"),
+                                    (F.col("id") * 2).alias("v"))
+    paged = [[r["doc_id"] for r in page]
+             for page in iterate_keyset(df, page_size=100)]
+    streamed = [[r["doc_id"] for r in page]
+                for page in iterate_keyset_stream(df, page_size=100)]
+    assert streamed == paged
+    assert streamed[0][0] == 0 and streamed[-1][-1] == 536
+    # resume-after cursor
+    resumed = list(iterate_keyset_stream(df, after=530, page_size=100))
+    assert [r["doc_id"] for r in resumed[0]] == list(range(531, 537))
