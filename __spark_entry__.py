@@ -504,6 +504,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "title", "sort_key", "url", "rights")
     q["transform_chain"] = transform_chain
 
+    def xml_records_extract(spark, sf):
+        # XML grouped scan → badgerfish records → field extraction
+        # (oac/cmis/static-XML fetchers; etree→dict conversion)
+        from harvester_spark.sources.xmlmarc import parse_xml_records
+        e = F.col("event_id")
+        xml = F.concat(
+            F.lit('<set><rec id="r'), e.cast("string"),
+            F.lit('"><title>T '), e.cast("string"),
+            F.lit("</title><subject>s"), (e % 3).cast("string"),
+            F.lit("</subject></rec></set>"))
+        src = (_events(spark, sf).filter(e < 300)
+               .select("event_id", xml.alias("xml")))
+        recs = parse_xml_records(src, "xml", "rec", id_col="event_id")
+        return recs.select(
+            F.col("id").alias("event_id"),
+            F.get_json_object("record_json", "$['@id']").alias("rid"),
+            F.get_json_object("record_json", "$.title").alias("title"),
+            F.get_json_object("record_json", "$.subject").alias("subject"))
+    q["xml_records_extract"] = xml_records_extract
+
+    def marc_title_extract(spark, sf):
+        # binary ISO 2709 MARC scan → parsed fields → 245$a
+        # (marc_fetcher.py / pymarc role, stdlib byte-slicing kernel)
+        import pandas as _pd
+
+        from harvester_spark.sources.xmlmarc import (marc_bytes,
+                                                     parse_marc_records)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                yield _pd.DataFrame({
+                    "event_id": pdf["event_id"].astype("int64"),
+                    "blob": [bytearray(marc_bytes(
+                        {"001": f"id{int(i)}"},
+                        [("245", "0", "0", [("a", f"Title {int(i)}")])]))
+                        for i in pdf["event_id"]]})
+
+        src = (_events(spark, sf).filter(F.col("event_id") < 300)
+               .select("event_id")
+               .mapInPandas(gen, "event_id long, blob binary"))
+        recs = parse_marc_records(src, "blob", id_col="event_id")
+        return recs.select(
+            F.col("id").alias("event_id"),
+            F.get_json_object("marc_json", "$.controls.001").alias("ctl"),
+            F.get_json_object("marc_json",
+                              "$.fields[0].subfields.a[0]").alias("title"))
+    q["marc_title_extract"] = marc_title_extract
+
     def ark_synthesis(spark, sf):
         # campus-specific ark synthesis (solr_updater.py:320-359)
         from harvester_spark.functions.text import ucla_ark, ucsd_ark
@@ -1012,6 +1062,21 @@ SELECT doc_id, title,
        'public' AS rights
 FROM k
 WHERE title IS NOT NULL AND title <> '' AND url <> ''
+"""
+
+    o["xml_records_extract"] = """
+SELECT event_id,
+       'r' || CAST(event_id AS VARCHAR) AS rid,
+       'T ' || CAST(event_id AS VARCHAR) AS title,
+       's' || CAST(event_id % 3 AS VARCHAR) AS subject
+FROM events WHERE event_id < 300
+"""
+
+    o["marc_title_extract"] = """
+SELECT event_id,
+       'id' || CAST(event_id AS VARCHAR) AS ctl,
+       'Title ' || CAST(event_id AS VARCHAR) AS title
+FROM events WHERE event_id < 300
 """
 
     o["ark_synthesis"] = """

@@ -1,0 +1,81 @@
+"""XML badgerfish conversion + ISO 2709 MARC codec (stdlib-only parsers)."""
+
+import json
+
+import pytest
+from xml.etree import ElementTree as ET
+
+from harvester_spark.sources.xmlmarc import (etree_to_dict, iter_marc_records,
+                                             marc_bytes, parse_marc_record,
+                                             parse_marc_records,
+                                             parse_xml_records,
+                                             strip_namespaces)
+
+XML = """<oai:set xmlns:oai="http://x/ns">
+  <oai:rec id="1"><oai:title lang="en">First</oai:title>
+    <oai:subject>a</oai:subject><oai:subject>b</oai:subject></oai:rec>
+  <oai:rec id="2"><oai:title>Second</oai:title></oai:rec>
+</oai:set>"""
+
+
+def test_etree_to_dict_convention():
+    d = etree_to_dict(ET.fromstring(XML))["set"]
+    recs = d["rec"]
+    assert isinstance(recs, list) and len(recs) == 2
+    assert recs[0]["@id"] == "1"
+    assert recs[0]["title"] == {"@lang": "en", "#text": "First"}
+    assert recs[0]["subject"] == ["a", "b"]       # repeated tag -> list
+    assert recs[1]["title"] == "Second"           # text-only collapses
+
+
+def test_strip_namespaces():
+    out = strip_namespaces(XML)
+    assert "oai:" not in out and "http://x/ns" not in out
+    assert "<rec" in out
+
+
+def test_parse_xml_records_spark(spark):
+    docs = spark.createDataFrame([(7, XML), (8, "<bad"), (9, None)],
+                                 "doc_id long, xml string")
+    rows = parse_xml_records(docs, "xml", "rec").collect()
+    assert len(rows) == 2                          # malformed/null skipped
+    by = {(r["id"], r["record_idx"]): json.loads(r["record_json"])
+          for r in rows}
+    assert by[(7, 0)]["@id"] == "1"
+    assert by[(7, 1)]["title"] == "Second"
+
+
+def test_marc_roundtrip():
+    raw = marc_bytes(
+        {"001": "rec0001", "008": "230101s2023"},
+        [("245", "1", "0", [("a", "The Title"), ("b", "subtitle")]),
+         ("650", " ", "0", [("a", "Topic1"), ("a", "Topic2")])])
+    rec = parse_marc_record(raw)
+    assert rec["controls"]["001"] == "rec0001"
+    f245 = next(f for f in rec["fields"] if f["tag"] == "245")
+    assert f245["ind1"] == "1" and f245["ind2"] == "0"
+    assert f245["subfields"]["a"] == ["The Title"]
+    assert f245["subfields"]["b"] == ["subtitle"]
+    f650 = next(f for f in rec["fields"] if f["tag"] == "650")
+    assert f650["subfields"]["a"] == ["Topic1", "Topic2"]  # repeated code
+
+
+def test_iter_marc_records_concatenated():
+    r1 = marc_bytes({"001": "a"}, [("245", "0", "0", [("a", "T1")])])
+    r2 = marc_bytes({"001": "b"}, [("245", "0", "0", [("a", "T2")])])
+    recs = list(iter_marc_records(r1 + r2))
+    assert len(recs) == 2
+    assert parse_marc_record(recs[1])["controls"]["001"] == "b"
+
+
+def test_parse_marc_records_spark(spark):
+    blob = marc_bytes({"001": "x1"}, [("245", "0", "0", [("a", "Hello")])]) \
+        + marc_bytes({"001": "x2"}, [("245", "0", "0", [("a", "World")])])
+    docs = spark.createDataFrame([(1, bytearray(blob)), (2, None)],
+                                 "doc_id long, blob binary")
+    rows = parse_marc_records(docs, "blob").collect()
+    assert len(rows) == 2
+    titles = sorted(
+        json.loads(r["marc_json"])["fields"][0]["subfields"]["a"][0]
+        for r in rows)
+    assert titles == ["Hello", "World"]
