@@ -265,6 +265,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cos_x10k"), F.asc("vec_id")).limit(10))
     q["cosine_topk"] = cosine_topk_q
 
+    def ivf_cosine_topk(spark, sf):
+        # IVF inverted-file ANN; nprobe = n_centroids degrades to EXACT
+        # brute force, so the oracle is the same cosine SQL
+        from harvester_spark.operators.similarity import (build_ivf_index,
+                                                          query_ivf_index)
+        emb = _emb(spark, sf)
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        d = tempfile.mkdtemp(prefix="hs_ivf_")
+        build_ivf_index(emb, d, n_centroids=8, seed=42)
+        scores = query_ivf_index(spark, d, qv, 10_000_000, nprobe=8)
+        return (scores.select("vec_id",
+                              _x10k(F.col("cosine")).alias("cos_x10k"))
+                .orderBy(F.desc("cos_x10k"), F.asc("vec_id")).limit(10))
+    q["ivf_cosine_topk"] = ivf_cosine_topk
+
     def lsh_cosine_q(spark, sf):  # rows-only (ANN, recall < 1 by design)
         emb = _emb(spark, sf)
         qv = [float(x) for x in
@@ -830,6 +846,9 @@ dots AS (
 SELECT vec_id, {X10K.format(v='ab / (na * nb)')} AS cos_x10k
 FROM dots ORDER BY cos_x10k DESC, vec_id ASC LIMIT 10
 """
+
+    # IVF at full probe is exact: same oracle as brute-force cosine
+    o["ivf_cosine_topk"] = o["cosine_topk"]
 
     o["embedding_norms"] = f"""
 WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings

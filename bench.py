@@ -101,6 +101,16 @@ def main() -> None:
     def q_cosine(s):
         return cosine_topk(emb, qv, 10).collect()
 
+    # persisted ANN index: built once (untimed, like the BM25 index),
+    # queries scan only probed bucket partitions
+    from harvester_spark.operators.similarity import (build_ann_index,
+                                                      query_ann_index)
+    ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
+    build_ann_index(emb, ann_dir, n_planes=10)
+
+    def q_ann(s):
+        return query_ann_index(s, ann_dir, qv, 10, n_probe_bits=1).collect()
+
     def q_quality(s):
         return quality_features(docs, content_col="text") \
             .agg(F.avg("quality_score")).collect()
@@ -120,6 +130,7 @@ def main() -> None:
         "minhash_lsh_dedup": q_minhash,
         "simhash_dedup": q_simhash,
         "cosine_topk": q_cosine,
+        "ann_index_topk": q_ann,
         "quality_scores": q_quality,
         "pricing_summary": q_pricing,
     }

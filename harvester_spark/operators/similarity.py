@@ -163,6 +163,104 @@ def query_ann_index(spark, index_dir, query_vec: list[float], k: int, *,
             .limit(k))
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + partitioned lists
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 12,
+            seed: int = 42) -> np.ndarray:
+    """Driver-side Lloyd iterations on a sample — the coarse quantizer is
+    tiny (k × dim floats) next to the corpus; training it distributed
+    would be all overhead. Empty clusters re-seed from the farthest
+    points. L2-normalized input → cosine assignment = argmax dot."""
+    rng = np.random.default_rng(seed)
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                            1e-12)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        newC = np.zeros_like(C)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                newC[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:
+                newC[c] = X[int(sims.max(axis=1).argmin())]
+        C = newC
+    return C
+
+
+def build_ivf_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
+                    train_sample: int = 20_000, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """IVF layout: vectors PARTITIONED BY nearest-centroid id, with
+    precomputed norms; centroids in the meta file. The classic
+    inverted-file ANN shape: a query probes only its ``nprobe`` nearest
+    lists — partition pruning keeps per-query scan cost O(corpus/k ×
+    nprobe) regardless of total size. Assignment is one matmul per Arrow
+    batch (no per-row Python)."""
+    import json
+    from pathlib import Path
+
+    sample = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
+                        for r in emb.select(vec_col)
+                        .limit(train_sample).collect()])
+    C = _kmeans(sample, n_centroids, seed=seed)
+
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("list_id", LongType())])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                               1e-12)
+            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"),
+                                "list_id": (M @ C.T).argmax(axis=1)
+                                .astype("int64")})
+
+    lists = emb.select(id_col, vec_col).mapInPandas(assign, schema)
+    withl = (emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+             .join(lists, "vec_id")
+             .withColumn("norm", _norm(F.col("embedding"))))
+    out = Path(out_dir)
+    (withl.write.mode("overwrite").partitionBy("list_id")
+     .parquet(str(out / "vectors")))
+    (out / "ivf_meta.json").write_text(json.dumps(
+        {"n_centroids": int(C.shape[0]), "dim": int(C.shape[1]),
+         "seed": seed, "centroids": C.tolist()}))
+
+
+def query_ivf_index(spark, index_dir, query_vec: list[float], k: int, *,
+                    nprobe: int = 4) -> DataFrame:
+    """Top-k cosine over the ``nprobe`` nearest inverted lists (partition
+    pruning on ``list_id``). ``nprobe = n_centroids`` degrades gracefully
+    to the EXACT brute-force result — the correctness anchor the tests and
+    the driver oracle use."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(index_dir) / "ivf_meta.json").read_text())
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(C @ qn))[:nprobe].tolist()
+    vecs = (spark.read.parquet(str(Path(index_dir) / "vectors"))
+            .filter(F.col("list_id").isin([int(p) for p in probes])))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("embedding"), qcol) / (F.col("norm")
+                                            * F.lit(float(np.linalg.norm(q))))
+    return (vecs.select("vec_id", cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, *, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

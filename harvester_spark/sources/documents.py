@@ -16,18 +16,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+from collections.abc import Callable
+
+SOURCE_READERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "parquet": lambda s, p: s.read.parquet(p),
+    "json": lambda s, p: s.read.json(p),
+    "csv": lambda s, p: s.read.option("header", "true").csv(p),
+    "table": lambda s, p: s.read.table(p),
+}
+
+
+def register_source(name: str):
+    """Pluggable source registry — the Spark analogue of the reference's
+    fetcher dispatch table (harvester/fetcher/controller.py:38-58 maps
+    harvest_type → fetcher class). New formats register a reader fn
+    (spark, path) → DataFrame under a spec-addressable name."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        SOURCE_READERS[name] = fn
+        return fn
+    return deco
+
+
+def read_source(spark: SparkSession, spec: str) -> DataFrame:
+    """Read by spec: ``format:path`` (explicit), a path (parquet), or a
+    catalog table name."""
+    if ":" in spec and spec.split(":", 1)[0] in SOURCE_READERS:
+        fmt, path = spec.split(":", 1)
+        return SOURCE_READERS[fmt](spark, path)
+    return (SOURCE_READERS["parquet"](spark, spec) if "/" in spec
+            else SOURCE_READERS["table"](spark, spec))
+
+
 def read_documents(spark: SparkSession, source: str, *,
                    lang: str | None = None,
                    repo: str | None = None) -> DataFrame:
     """The one scan that replaces the fetcher family.
 
-    ``source``: a parquet path (contains '/') or an Iceberg/catalog table
-    name. Predicates given here land in the scan (partition pruning /
+    ``source``: a ``format:path`` spec, a parquet path, or an
+    Iceberg/catalog table name (dispatched via the source registry).
+    Predicates given here land in the scan (partition pruning /
     PushedFilters) — the declarative analogue of each fetcher's server-side
     query parameter (solr_fetcher.py:40-45, nuxeo_fetcher.py:178-181).
     """
-    df = (spark.read.parquet(source) if "/" in source
-          else spark.read.table(source))
+    df = read_source(spark, source)
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
     if repo is not None:

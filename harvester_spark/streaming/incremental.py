@@ -271,6 +271,56 @@ def compact(spark: SparkSession, root: str | Path, live_docs: DataFrame, *,
 # the training-pipeline-grade streaming operator over the events table)
 # ---------------------------------------------------------------------------
 
+def streaming_exact_dedup(docs_stream: DataFrame, *,
+                          content_col: str = "content",
+                          ts_col: str = "ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content sha passes,
+    replays within the watermark window are dropped, and state is EVICTED
+    past the watermark (``dropDuplicatesWithinWatermark``) so state size is
+    bounded by the window's arrival rate — unbounded ``dropDuplicates``
+    state is the classic 100 TB streaming foot-gun. The streaming analogue
+    of the exact-dedup operator (operators/dedup.exact_duplicates)."""
+    return (docs_stream
+            .withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_sha256"]))
+
+
+def progress_ticks(events_stream: DataFrame, *, key_col: str = "event_type",
+                   base: int = 100, factor: int = 10,
+                   cap: int = 10_000) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): emit a tick
+    row whenever a key's cumulative record count crosses its next
+    threshold — the reference's escalating progress-log cadence (every 100
+    records, ×10 up to 10^4, then every 10^4;
+    harvester/fetcher/controller.py:252,264-270), as exactly-once stream
+    state instead of a fetch-loop counter."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key string, total long, tick long"
+    state_schema = "total long, next_tick long"
+
+    def fn(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+           state: GroupState) -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+        total, next_tick = state.get if state.exists else (0, base)
+        for pdf in pdfs:
+            total += len(pdf)
+        rows = []
+        while total >= next_tick:
+            rows.append((key[0], total, next_tick))
+            next_tick = (next_tick * factor if next_tick < cap
+                         else next_tick + cap)
+        state.update((total, next_tick))
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "total", "tick"])
+
+    return (events_stream.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def windowed_event_counts(events_stream: DataFrame, *,
                           window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:

@@ -215,3 +215,59 @@ def test_merge_deltas_rank_identical_to_fresh_build(spark, base_docs, tmp_path):
     inc.apply_changes(spark, root, ch, seq=4, cfg=CFG)
     res = inc.query_topk_incremental(spark, root, "zz_m", 10).toPandas()
     assert 303 not in set(res["doc_id"]) and 0 not in set(res["doc_id"])
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate content within the watermark window is dropped in-stream;
+    state is bounded (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [(0, base, "same text"), (1, base, "same text"),
+            (2, base, "other text"), (3, base, "same text")]
+    src = tmp_path / "dd_src"
+    (spark.createDataFrame(rows, "doc_id long, ts timestamp, content string")
+     .coalesce(1).write.mode("overwrite").parquet(str(src)))
+    stream = (spark.readStream
+              .schema("doc_id long, ts timestamp, content string")
+              .parquet(str(src)))
+    out = inc.streaming_exact_dedup(stream, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select content from dd").toPandas()
+    assert sorted(got["content"]) == ["other text", "same text"]
+
+
+def test_progress_ticks_stateful(spark, tmp_path):
+    """applyInPandasWithState: escalating log-cadence thresholds fire once
+    each as cumulative counts cross them (controller.py:252 semantics),
+    with state carried ACROSS micro-batches."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "pt_src"
+    # two files + maxFilesPerTrigger=1 -> two micro-batches in ONE run,
+    # so the 1000-threshold fires from state carried ACROSS batches
+    (spark.createDataFrame(
+        [(i, base, "click", 1.0) for i in range(130)],
+        "event_id long, ts timestamp, event_type string, value double")
+     .coalesce(1).write.mode("overwrite").parquet(str(src)))
+    (spark.createDataFrame(
+        [(1000 + i, base, "click", 1.0) for i in range(1000)],
+        "event_id long, ts timestamp, event_type string, value double")
+     .coalesce(1).write.mode("append").parquet(str(src)))
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string, "
+                      "value double")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = inc.progress_ticks(stream, base=100, factor=10, cap=10_000)
+    q = (out.writeStream.format("memory").queryName("ticks")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "pt_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    t = spark.sql("select * from ticks order by tick").toPandas()
+    assert set(t["tick"]) == {100, 1000}
+    assert int(t["total"].max()) == 1130
+    assert set(t["key"]) == {"click"}

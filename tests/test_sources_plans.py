@@ -75,3 +75,18 @@ def test_iterate_keyset_stream_matches_paged(spark):
     # resume-after cursor
     resumed = list(iterate_keyset_stream(df, after=530, page_size=100))
     assert [r["doc_id"] for r in resumed[0]] == list(range(531, 537))
+
+
+def test_source_registry_dispatch(spark, tmp_path):
+    from harvester_spark.sources.documents import (read_source,
+                                                   register_source)
+    df = spark.range(5).selectExpr("id AS doc_id", "'en' AS lang")
+    pq = tmp_path / "r.parquet"; js = tmp_path / "r.json"
+    df.write.mode("overwrite").parquet(str(pq))
+    df.write.mode("overwrite").json(str(js))
+    assert read_source(spark, str(pq)).count() == 5          # path -> parquet
+    assert read_source(spark, f"json:{js}").count() == 5     # explicit fmt
+    @register_source("range5")
+    def _r5(s, p):
+        return s.range(int(p))
+    assert read_source(spark, "range5:7").count() == 7       # custom reader

@@ -125,3 +125,30 @@ def test_embedding_near_dup_metrics(spark, emb):
     # 2 planes => <=4 buckets for hundreds of vectors: every bucket oversized
     assert m["dropped_buckets"] >= 1
     assert m["dropped_doc_entries"] > 3
+
+
+def test_ivf_index_exact_at_full_probe_and_recall(spark, emb, tmp_path):
+    """IVF ANN: nprobe = n_centroids degrades to EXACT brute force
+    (rank-identical); partial probe keeps high recall on the query's own
+    neighborhood; the probed scan is partition-pruned."""
+    from harvester_spark.operators.similarity import (build_ivf_index,
+                                                      cosine_topk,
+                                                      query_ivf_index)
+    idx = tmp_path / "ivf"
+    build_ivf_index(emb, idx, n_centroids=8, seed=42)
+    pdf = emb.toPandas()
+    q = [float(x) for x in pdf[pdf["vec_id"] == 5]["embedding"].iloc[0]]
+
+    full = query_ivf_index(spark, idx, q, 10, nprobe=8)
+    want = cosine_topk(emb, q, 10)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in full.collect()]
+    exp = [(r["vec_id"], round(r["cosine"], 9)) for r in want.collect()]
+    assert got == exp                      # full probe == exact
+
+    part = query_ivf_index(spark, idx, q, 10, nprobe=2)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1].split("]")[0]
+    got_ids = {r["vec_id"] for r in part.collect()}
+    assert 5 in got_ids                    # query's own vector always found
+    assert len(got_ids & {e[0] for e in exp}) >= 5  # decent recall

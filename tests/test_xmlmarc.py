@@ -79,3 +79,40 @@ def test_parse_marc_records_spark(spark):
         json.loads(r["marc_json"])["fields"][0]["subfields"]["a"][0]
         for r in rows)
     assert titles == ["Hello", "World"]
+
+
+from hypothesis import given, settings, strategies as st
+
+_sub_text = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           blacklist_characters="\x1d\x1e\x1f"),
+    min_size=0, max_size=30)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(
+    st.sampled_from(["245", "650", "100", "856"]),
+    st.sampled_from("01 "), st.sampled_from("01 "),
+    st.lists(st.tuples(st.sampled_from("abcz"), _sub_text),
+             min_size=1, max_size=4)), min_size=0, max_size=6))
+def test_marc_roundtrip_property(fields):
+    raw = marc_bytes({"001": "ctrl"}, fields)
+    rec = parse_marc_record(raw)
+    assert rec["controls"]["001"] == "ctrl"
+    assert len(rec["fields"]) == len(fields)
+    for want, got in zip(fields, rec["fields"]):
+        tag, i1, i2, subs = want
+        assert got["tag"] == tag and got["ind1"] == i1 and got["ind2"] == i2
+        flat = [(c, v) for c in got["subfields"]
+                for v in got["subfields"][c]]
+        assert sorted(flat) == sorted(subs)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_ppm_roundtrip_property(w, h, seed):
+    import numpy as np
+    from harvester_spark.operators.multimodal import decode_ppm, encode_ppm
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
