@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_lengths(spark, sf):
         return _docs(spark, sf).select(
-            "doc_id", doc_len_expr("text").alias("dl"))
+            "doc_id", doc_len_expr("text").cast("long").alias("dl"))
     q["doc_lengths"] = doc_lengths
 
     def term_stats(spark, sf):
@@ -222,12 +222,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         en = LANG_STOPWORDS["en"]
         return docs.select(
             "doc_id",
-            F.length("text").alias("n_chars"),
-            F.size(toks).alias("n_tokens"),
-            F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).alias("n_alpha"),
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9_\s]", "")).alias("n_punct"),
-            F.size(F.array_distinct(toks)).alias("n_distinct"),
-            F.size(F.filter(toks, lambda t: t.isin(en))).alias("n_stop"))
+            F.length("text").cast("long").alias("n_chars"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+            .cast("long").alias("n_alpha"),
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9_\s]", ""))
+            .cast("long").alias("n_punct"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.size(F.filter(toks, lambda t: t.isin(en)))
+            .cast("long").alias("n_stop"))
     q["quality_feature_ints"] = quality_feature_ints
 
     def quality_scores(spark, sf):
@@ -243,8 +246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def token_counts(spark, sf):
         return _docs(spark, sf).select(
-            "doc_id", doc_len_expr("text").alias("n_tokens"),
-            F.size(F.array_distinct(tokens_expr("text"))).alias("n_distinct"))
+            "doc_id", doc_len_expr("text").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(tokens_expr("text")))
+            .cast("long").alias("n_distinct"))
     q["token_counts"] = token_counts
 
     def dedupe_tokens_first_wins(spark, sf):

@@ -73,3 +73,18 @@ def test_broadcast_join_in_registry_enrichment(spark):
         "collection_id int, campus string")
     plan = plan_of(big.join(F.broadcast(small), "collection_id", "left"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_transform_chain_composes_into_one_stage(spark):
+    """A chain of column transforms must stay ONE Catalyst plan with no
+    exchange/shuffle — apply_chain composes lazily, nothing materializes
+    between steps."""
+    from harvester_spark.plans.transforms import apply_chain
+    df = spark.createDataFrame([(0, "The X", "http://h/x")],
+                               "doc_id long, title string, url string")
+    out = apply_chain(df, ["sort_title?col=title&dest=k",
+                           "add_slash?col=url",
+                           "constant?dest=rights&value=cc0",
+                           "require_fields?cols=title"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow pipeline, no shuffle
