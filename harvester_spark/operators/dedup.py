@@ -57,19 +57,30 @@ def exact_duplicates(docs: DataFrame, *, content_col: str = "content",
             .filter(F.col("n_dups") > 1))
 
 
-def shingles_expr(content_col: str, n: int = 3):
-    """n-gram token shingles as strings (space-joined), distinct per doc.
-
-    Docs with 1..n-1 tokens get one short shingle (their whole text);
-    zero-token docs get an EMPTY array — giving them a synthetic empty
-    shingle would make every empty/punctuation-only doc a jaccard=1.0
-    near-dup of every other one."""
-    toks = tokens_expr(content_col)
+def shingles_from_tokens(toks, n: int = 3):
+    """Shingles from an ALREADY-MATERIALIZED token-array column (or a
+    lambda-bound variable). Docs with 1..n-1 tokens get one short shingle
+    (their whole text); zero-token docs get an EMPTY array — a synthetic
+    empty shingle would make every empty/punctuation-only doc a
+    jaccard=1.0 near-dup of every other one."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.when(F.size(toks) == 0,
                   F.array().cast("array<string>")) \
             .otherwise(F.array_distinct(sh))
+
+
+def shingles_expr(content_col: str, n: int = 3):
+    """n-gram token shingles straight from a content column.
+
+    The tokenizer output is BOUND ONCE via a one-element ``transform``
+    lambda: referencing the raw ``tokens_expr`` tree inside the per-shingle
+    lambda would re-run the regex split for EVERY position (O(len²) per
+    doc — measured 15s just to count 260k shingles at sf0.1; 1.5s with the
+    binding). A lambda variable is evaluated once in any physical plan, so
+    this doesn't depend on Catalyst subexpression elimination."""
+    return F.transform(F.array(tokens_expr(content_col)),
+                       lambda t: shingles_from_tokens(t, n))[0]
 
 
 def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
