@@ -7,8 +7,10 @@ from harvester_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("harvester_spark_tests", cores=4, shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark("harvester_spark_tests", cores=4, shuffle_partitions=8,
+                  extra_conf={"spark.sql.warehouse.dir": str(wh)})
     yield s
 
 

@@ -271,3 +271,37 @@ def test_progress_ticks_stateful(spark, tmp_path):
     assert set(t["tick"]) == {100, 1000}
     assert int(t["total"].max()) == 1130
     assert set(t["key"]) == {"click"}
+
+
+def test_merge_crash_before_pointer_swap_is_harmless(spark, base_docs, tmp_path):
+    """A merge that dies after building the merged dir but BEFORE the
+    segments.json swap leaves queries on the old (correct) segment list;
+    re-running the merge succeeds."""
+    root = tmp_path / "root_mc"
+    inc.init_root(spark, base_docs, root, cfg=CFG)
+    for i in (1, 2):
+        ch = spark.createDataFrame(
+            [(2000 + i, False, f"zz_mc doc {i}")],
+            "doc_id long, deleted boolean, content string")
+        inc.apply_changes(spark, root, ch, seq=i, cfg=CFG)
+    before = inc.query_topk_incremental(spark, root, "zz_mc", 10).toPandas()
+    assert set(before["doc_id"]) == {2001, 2002}
+
+    # simulate the crash: an orphan merged dir exists, pointer unswapped
+    import shutil
+    from harvester_spark.operators.index_build import (build_index_from_rows,
+                                                       decode_postings)
+    from harvester_spark import tables
+    d = inc._delta_dirs(root)[0]
+    rows = decode_postings(tables.read_table(spark, d / "postings"))
+    build_index_from_rows(spark, rows, root / "delta_00000002_m9", cfg=CFG)
+
+    # queries unaffected by the orphan (pointer still lists the old deltas)
+    mid = inc.query_topk_incremental(spark, root, "zz_mc", 10).toPandas()
+    assert set(mid["doc_id"]) == {2001, 2002}
+
+    # re-running the merge commits cleanly and removes the old deltas
+    assert inc.merge_deltas(spark, root, cfg=CFG) is not None
+    after = inc.query_topk_incremental(spark, root, "zz_mc", 10).toPandas()
+    assert set(after["doc_id"]) == {2001, 2002}
+    assert len(inc._delta_dirs(root)) == 1
