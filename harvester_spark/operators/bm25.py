@@ -419,11 +419,45 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
     return rare_kept, kept
 
 
+def _topk_small_query(spark: SparkSession, blocks: DataFrame,
+                      present: list[str], idf_by_term: dict[str, float],
+                      k: int, mode: str, k1: float, b: float,
+                      avgdl: float) -> DataFrame:
+    """Small-query fast path: when the candidate posting volume is tiny
+    (known from the dictionary — no extra job), ONE collect job fetches
+    the blocks and the driver decodes/scores them, skipping the
+    mapInPandas python-worker round and the aggregation shuffle. Same
+    float64 formula + tie rule as the distributed path → rank-identical
+    (enforced by the same rank-identity tests, which flow through here
+    at test-corpus sizes)."""
+    pdf = (blocks.select("term", "doc_id_first", "doc_count",
+                         "deltas", "tfs", "dls").toPandas())
+    if not len(pdf):
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    frames = []
+    for t, grp in pdf.groupby("term"):
+        dec = _decode_block_rows(grp, idf_by_term, k1, b, avgdl)
+        dec["term"] = t
+        frames.append(dec)
+    allrows = pd.concat(frames, ignore_index=True)
+    agg = allrows.groupby("doc_id").agg(score=("score", "sum"),
+                                        nt=("term", "nunique"))
+    if mode == "and":
+        agg = agg[agg["nt"] == len(present)]
+    ids = agg.index.to_numpy()
+    scores = agg["score"].to_numpy()
+    order = np.lexsort((ids, -scores))[:k]
+    out = pd.DataFrame({"doc_id": ids[order].astype("int64"),
+                        "score": scores[order]})
+    return spark.createDataFrame(out, SCORE_SCHEMA)
+
+
 def query_topk_index(spark: SparkSession,
                      index_dir: str | Path | IndexHandle, query: str,
                      k: int, *, mode: str = "or", prune: bool = True,
                      prune_min_postings: int = 50_000,
                      range_docs: int = 1 << 20,
+                     small_query_postings: int = 65_536,
                      exclude_ids: DataFrame | None = None,
                      metrics_out: dict | None = None) -> DataFrame:
     """Top-k BM25 over the prebuilt index with block-max pruning.
@@ -469,11 +503,19 @@ def query_topk_index(spark: SparkSession,
                              for x in (F.lit(t), F.lit(idf_by_term[t]))])
     blocks = postings.withColumn("ub", idf_map[F.col("term")]
                                  * F.col("block_max_tfnorm"))
+
+    total_postings = sum(info[t]["df"] for t in present)
+    # small queries (candidate volume known from the dictionary, no extra
+    # job) score driver-side in ONE collect — skips the python-worker
+    # decode round + aggregation shuffle; rank-identical
+    if (exclude_ids is None and metrics_out is None
+            and 0 < total_postings <= small_query_postings):
+        return _topk_small_query(spark, blocks, present, idf_by_term, k,
+                                 mode, k1, b, avgdl)
     if metrics_out is not None:
         metrics_out["blocks_total"] = blocks.count()
 
     # pruning pays off only when there is real volume to skip
-    total_postings = sum(info[t]["df"] for t in present)
     if (prune and mode == "and" and len(present) > 1
             and total_postings > prune_min_postings):
         rarest = min(present, key=lambda t: info[t]["df"])

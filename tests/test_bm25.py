@@ -33,16 +33,25 @@ def test_dataframe_scorer_rank_identity(corpus_df, oracle, query, k):
 
 @pytest.mark.parametrize("query,k", QUERY_SET)
 def test_index_scorer_rank_identity(spark, index_dir, oracle, query, k):
+    # default path (driver fast path at this corpus size)
     got = query_topk_index(spark, index_dir, query, k).toPandas()
     want = oracle.topk(tokenize_query(query), k)
     assert_rank_identical(got, want, f"index-scorer {query!r}")
+    # distributed path must be rank-identical too
+    got_d = query_topk_index(spark, index_dir, query, k,
+                             small_query_postings=0).toPandas()
+    assert_rank_identical(got_d, want, f"index-scorer-dist {query!r}")
 
 
 @pytest.mark.parametrize("query,k", QUERY_SET)
 def test_index_scorer_pruning_equals_exhaustive(spark, index_dir, query, k):
+    # small_query_postings=0 forces the DISTRIBUTED decode+prune path
+    # (the tiny test corpus would otherwise take the driver fast path)
     pruned = query_topk_index(spark, index_dir, query, k, prune=True,
-                              prune_min_postings=0).toPandas()
-    full = query_topk_index(spark, index_dir, query, k, prune=False).toPandas()
+                              prune_min_postings=0,
+                              small_query_postings=0).toPandas()
+    full = query_topk_index(spark, index_dir, query, k, prune=False,
+                            small_query_postings=0).toPandas()
     assert list(pruned["doc_id"]) == list(full["doc_id"])
     np.testing.assert_allclose(pruned["score"], full["score"], rtol=0)
 
@@ -86,9 +95,10 @@ def test_and_mode_conjunctive_pruning_exact(spark, index_dir, oracle, q):
     """Rarest-term range pruning must stay exact (membership + scores)."""
     want = oracle.topk(tokenize_query(q), 20, mode="and")
     pruned = query_topk_index(spark, index_dir, q, 20, mode="and",
-                              prune=True, prune_min_postings=0).toPandas()
+                              prune=True, prune_min_postings=0,
+                              small_query_postings=0).toPandas()
     full = query_topk_index(spark, index_dir, q, 20, mode="and",
-                            prune=False).toPandas()
+                            prune=False, small_query_postings=0).toPandas()
     assert_rank_identical(pruned, want, f"and-pruned {q!r}")
     assert list(pruned["doc_id"]) == list(full["doc_id"])
 
