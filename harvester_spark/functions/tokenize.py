@@ -82,3 +82,17 @@ def term_frequencies_pandas(content: pd.Series) -> pd.DataFrame:
     out["_pos"] = out["_pos"].astype("int64")
     out["tf"] = out["tf"].astype("int64")
     return out
+
+
+def tokens_bundle(col: str | Column, build) -> Column:
+    """Evaluate the tokenizer ONCE per row and derive many outputs from it.
+
+    ``build(toks) -> struct(...)`` receives the token array as a
+    lambda-BOUND variable (evaluated once in any physical plan — Catalyst
+    subexpression elimination does not reach into higher-order-function
+    lambdas) and the struct is emitted through ``inline`` (generators
+    evaluate their input exactly once). Without this, every reference to
+    ``tokens_expr`` re-runs the regex split: langid referenced it 5x per
+    row, shingling referenced it per shingle position (O(len^2))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.inline(F.transform(F.array(tokens_expr(c)), build))

@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from harvester_spark.functions.tokenize import doc_len_expr, tokens_expr
+from harvester_spark.functions.tokenize import (doc_len_expr, tokens_bundle,
+                                                tokens_expr)
 
 # tiny per-language stopword sets (deterministic heuristic; matches the
 # synthetic corpus languages of the driver's documents table)
@@ -55,25 +56,28 @@ def quality_features(docs: DataFrame, *, content_col: str = "content",
     — deterministic and SQL-expressible.
     """
     c = F.col(content_col)
-    toks = tokens_expr(content_col)
     n_chars = F.length(c)
-    n_tokens = F.size(toks)
     n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9_\s]", ""))
-    n_distinct = F.size(F.array_distinct(toks))
     en_stop = LANG_STOPWORDS["en"]
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(en_stop)))
 
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
-        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("mean_tok_len"),
-        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
-        (n_distinct / F.greatest(n_tokens, F.lit(1))).alias("distinct_ratio"),
-    )
+    def feats(toks):  # toks is lambda-bound: ONE tokenizer run per row
+        n_tokens = F.size(toks)
+        n_distinct = F.size(F.array_distinct(toks))
+        n_stop = F.size(F.filter(toks, lambda t: t.isin(en_stop)))
+        return F.struct(
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+            (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+            (n_chars / F.greatest(n_tokens, F.lit(1))).alias("mean_tok_len"),
+            (n_stop / F.greatest(n_tokens, F.lit(1)))
+            .alias("stopword_ratio"),
+            (n_distinct / F.greatest(n_tokens, F.lit(1)))
+            .alias("distinct_ratio"))
+
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      tokens_bundle(content_col, feats))
     score = (
         F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.3
         + F.col("alpha_ratio") * 0.3
@@ -86,25 +90,25 @@ def langid(docs: DataFrame, *, content_col: str = "content",
            id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language ID: argmax over per-language stopword hit
     counts, ties → lexicographic language order, no hits → 'und'."""
-    toks = tokens_expr(content_col)
     # NB: F.filter interprets a two-arg lambda as (element, index); bind the
     # stopword list via a factory so the lambda stays single-arg
-    def hit_count(ws: list[str]):
-        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+    def pick(toks):  # toks is lambda-bound: ONE tokenizer run per row
+        def hit_count(ws: list[str]):
+            return F.size(F.filter(toks, lambda t: t.isin(ws)))
+        # deterministic argmax: greatest hit count, tie-break by language
+        # code; max on (n, lang) breaks ties toward the LAST language —
+        # declared behavior (mirrored in the oracle SQL)
+        pairs = F.array(*[F.struct(hit_count(ws).alias("n"),
+                                   F.lit(lg).alias("lang"))
+                          for lg, ws in sorted(LANG_STOPWORDS.items())])
+        best = F.array_max(pairs)  # struct compare: n first, then lang
+        return F.struct(
+            F.when(best["n"] > 0, best["lang"])
+            .otherwise(F.lit("und")).alias("lang_pred"),
+            best["n"].alias("stopword_hits"))
 
-    counts = {lg: hit_count(ws) for lg, ws in LANG_STOPWORDS.items()}
-    # deterministic argmax: greatest hit count, tie-break by language code
-    pairs = F.array(*[F.struct(counts[lg].alias("n"),
-                               F.lit(lg).alias("lang"))
-                      for lg in sorted(LANG_STOPWORDS)])
-    best = F.array_max(pairs)  # struct compare: n first, then lang (max)
-    # max on (n, lang) breaks ties toward the LAST language; invert lang for
-    # lexicographic-first determinism is overkill — declare ties → max lang.
-    out = docs.select(F.col(id_col).alias("doc_id"),
-                      F.when(best["n"] > 0, best["lang"])
-                      .otherwise(F.lit("und")).alias("lang_pred"),
-                      best["n"].alias("stopword_hits"))
-    return out
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_bundle(content_col, pick))
 
 
 def fingerprint(docs: DataFrame, *, content_col: str = "content",
@@ -116,9 +120,12 @@ def fingerprint(docs: DataFrame, *, content_col: str = "content",
     - ``content_md5``: md5 of the space-joined sorted distinct token set
       (bag-of-words identity, robust to whitespace/punct reflow).
     """
-    toks = tokens_expr(content_col)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_token_md5"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
-        .alias("content_md5"))
+    def prints(toks):  # toks is lambda-bound: ONE tokenizer run per row
+        return F.struct(
+            F.array_min(F.transform(toks, lambda t: F.md5(t)))
+            .alias("min_token_md5"),
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+            .alias("content_md5"))
+
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_bundle(content_col, prints))
