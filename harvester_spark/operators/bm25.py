@@ -72,10 +72,19 @@ def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
     stats = src.agg(F.count("*").alias("N"),
                     F.avg(doc_len_expr("content")).alias("avgdl"))
 
-    tok = (src.select("doc_id",
-                      doc_len_expr("content").alias("dl"),
-                      F.explode(tokens_expr("content")).alias("term"))
-           .filter(F.col("term").isin(terms)))
+    # tokenize ONCE per row (lambda-bound) and filter to query terms
+    # BEFORE exploding: the generator emits only matching tokens instead
+    # of the full token stream (~avgdl rows per doc)
+    from harvester_spark.functions.tokenize import tokens_bundle
+
+    def match(toks):
+        return F.struct(
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda t: t.isin(terms)).alias("matched"))
+
+    tok = (src.select("doc_id", tokens_bundle("content", match))
+           .filter(F.size("matched") > 0)
+           .select("doc_id", "dl", F.explode("matched").alias("term")))
     tf = tok.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
