@@ -106,7 +106,8 @@ def tombstoned_ids(spark: SparkSession, root: str | Path,
 
 def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
                   seq: int, *, content_col: str = "content",
-                  cfg: IndexConfig | None = None) -> None:
+                  cfg: IndexConfig | None = None,
+                  auto_compact_max_deltas: int | None = None) -> dict:
     """Apply one CDC batch. ``changes``: (doc_id, deleted bool, content).
 
     Upserts = tombstone the old version + index the new one in a delta
@@ -120,14 +121,25 @@ def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
     """
     root = Path(root)
     if seq <= last_seq(root):
-        return
+        return {"seq": seq, "skipped": True}
     delta_dir = root / f"delta_{seq:08d}"
 
+    # batch counters ride the tombstone write job via observe() — the
+    # reference's updated/deleted tallies (solr_updater.py:952-962,
+    # couchdb_sync_db_by_collection.py:120-131) without extra jobs
+    from pyspark.sql import Observation
+    obs = Observation()
+    counted = changes.observe(
+        obs, F.count(F.lit(1)).alias("n_changes"),
+        F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_deletes"))
+
     # every changed doc id is tombstoned out of older segments
-    tomb_new = changes.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tomb_new = counted.select(F.col("doc_id").cast("long").alias("doc_id"))
     tables.write_table(tomb_new, root / "tombstones" / f"seq={seq:08d}")
+    n_changes = int(obs.get["n_changes"] or 0)
+    n_deletes = int(obs.get["n_deletes"] or 0)
     upserts = changes.filter(~F.col("deleted")).select("doc_id", content_col)
-    if upserts.limit(1).count() > 0:
+    if n_changes - n_deletes > 0:
         build_index(spark, upserts, delta_dir, content_col=content_col,
                     cfg=cfg)
         _write_segments(root, [d.name for d in _delta_dirs(root)]
@@ -135,6 +147,13 @@ def apply_changes(spark: SparkSession, root: str | Path, changes: DataFrame,
     # commit point: last_seq advance (a crash before this point re-applies
     # the batch; every stage above overwrites idempotently)
     (root / "last_seq").write_text(str(seq))
+    compacted = False
+    if auto_compact_max_deltas is not None:
+        compacted = maybe_compact(spark, root,
+                                  max_deltas=auto_compact_max_deltas,
+                                  cfg=cfg)
+    return {"seq": seq, "n_changes": n_changes, "n_deletes": n_deletes,
+            "n_upserts": n_changes - n_deletes, "compacted": compacted}
 
 
 def live_doc_filter(spark: SparkSession, root: str | Path,

@@ -305,3 +305,28 @@ def test_merge_crash_before_pointer_swap_is_harmless(spark, base_docs, tmp_path)
     after = inc.query_topk_incremental(spark, root, "zz_mc", 10).toPandas()
     assert set(after["doc_id"]) == {2001, 2002}
     assert len(inc._delta_dirs(root)) == 1
+
+
+def test_apply_changes_counters_and_auto_compact(spark, base_docs, tmp_path):
+    """apply_changes reports upsert/delete tallies (observe(), no extra
+    jobs) and can trigger the compaction policy inline."""
+    root = tmp_path / "root_ctr"
+    inc.init_root(spark, base_docs, root, cfg=CFG)
+    reps = []
+    for i in (1, 2):
+        ch = spark.createDataFrame(
+            [(3000 + i, False, f"zz_ctr doc {i}"), (i, True, None)],
+            "doc_id long, deleted boolean, content string")
+        reps.append(inc.apply_changes(spark, root, ch, seq=i, cfg=CFG,
+                                      auto_compact_max_deltas=2))
+    assert reps[0] == {"seq": 1, "n_changes": 2, "n_deletes": 1,
+                       "n_upserts": 1, "compacted": False}
+    assert reps[1]["compacted"] is True          # 2nd delta hit the policy
+    assert len(inc._delta_dirs(root)) == 1
+    res = inc.query_topk_incremental(spark, root, "zz_ctr", 10).toPandas()
+    assert set(res["doc_id"]) == {3001, 3002}
+    # idempotent re-apply reports skipped
+    again = inc.apply_changes(spark, root, spark.createDataFrame(
+        [(1, True, None)], "doc_id long, deleted boolean, content string"),
+        seq=2, cfg=CFG)
+    assert again == {"seq": 2, "skipped": True}
