@@ -134,7 +134,10 @@ def main() -> None:
 
     ensure_corpus()
     levels = [int(x) for x in
-              os.environ.get("BENCH_LEVELS", "4,16").split(",")]
+              # default pair sits inside this box's linear region (pairs
+              # above 8 threads measure the shared memory bus, not the
+              # engine — ceiling attribution in BENCH.md)
+              os.environ.get("BENCH_LEVELS", "2,8").split(",")]
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     results: dict[int, dict] = {}
     # interleave levels across trials so machine-level drift (this VM's
