@@ -191,3 +191,35 @@ def test_salted_equals_unsalted(spark, corpus_df, tmp_path):
         return out
 
     assert decoded(d1) == decoded(d2)
+
+
+def test_empty_corpus_build_and_query(spark, tmp_path):
+    """A zero-doc build commits cleanly (N=0, no div-by-zero) and queries
+    return empty instead of erroring."""
+    from harvester_spark.operators.bm25 import query_topk_index
+    from harvester_spark.operators.index_build import (IndexConfig,
+                                                       build_index)
+    empty = spark.createDataFrame([], "doc_id long, content string")
+    d = tmp_path / "empty_idx"
+    rep = build_index(spark, empty, d, cfg=IndexConfig(salt_df_threshold=10**9))
+    assert rep.n_docs == 0 and rep.avgdl == 0.0
+    assert query_topk_index(spark, d, "anything", 5).collect() == []
+
+
+def test_unicode_content_build(spark, tmp_path):
+    """Non-ASCII content flows through build+query; the documented
+    tokenizer ([a-z0-9_] runs) keeps only ASCII-word tokens — identical
+    in all three engines by definition."""
+    from harvester_spark.operators.bm25 import query_topk_index
+    from harvester_spark.operators.index_build import (IndexConfig,
+                                                       build_index)
+    uni = spark.createDataFrame(
+        [(0, "héllo wörld naïve café"), (1, "日本語のテキスト 漢字"),
+         (2, "emoji 🎉 test_underscore mixed123"), (3, "ПРИВЕТ мир")],
+        "doc_id long, content string")
+    d = tmp_path / "uni_idx"
+    rep = build_index(spark, uni, d, cfg=IndexConfig(salt_df_threshold=10**9))
+    assert rep.n_docs == 4
+    got = [r["doc_id"] for r in
+           query_topk_index(spark, d, "test_underscore", 5).collect()]
+    assert got == [2]
