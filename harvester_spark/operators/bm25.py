@@ -350,7 +350,8 @@ def _theta_filter_localized(blocks: DataFrame, present: list[str],
 def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
                      rng_pdf: pd.DataFrame, present: list[str],
                      idf_by_term: dict[str, float], k: int,
-                     k1: float, b: float, avgdl: float
+                     k1: float, b: float, avgdl: float,
+                     exclude: np.ndarray | None = None
                      ) -> tuple[DataFrame, DataFrame] | None:
     """Conjunctive θ-pruning over the rarest term's block ranges.
 
@@ -408,6 +409,11 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
     dec_all = pd.concat(per_term_frames, ignore_index=True)
     agg = dec_all.groupby("doc_id").agg(score=("score", "sum"),
                                         nt=("term", "nunique"))
+    if exclude is not None and exclude.size:
+        # θ must be the k-th best among docs that can actually be
+        # RETURNED: seeding θ from an excluded doc would overshoot the
+        # true k-th live score and prune blocks holding live top-k docs
+        agg = agg[~agg.index.isin(exclude)]
     inter = agg[agg["nt"] == len(present)]["score"].to_numpy()
     if inter.size < k:
         return None
@@ -428,10 +434,24 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
     return rare_kept, kept
 
 
+def _collect_exclude_ids(exclude_ids: DataFrame,
+                         cap: int = 2_000_000) -> np.ndarray | None:
+    """Tombstoned doc_ids as a driver-side array, or ``None`` when the
+    exclusion set exceeds ``cap`` (then callers must fall back to paths
+    that don't need it driver-side). Tombstone sets are O(recent deletes)
+    — tiny next to the corpus — so the cap exists only as a safety rail."""
+    rows = (exclude_ids.select(F.col("doc_id").cast("long"))
+            .limit(cap + 1).collect())
+    if len(rows) > cap:
+        return None
+    return np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+
+
 def _topk_small_query(spark: SparkSession, blocks: DataFrame,
                       present: list[str], idf_by_term: dict[str, float],
                       k: int, mode: str, k1: float, b: float,
-                      avgdl: float) -> DataFrame:
+                      avgdl: float,
+                      exclude: np.ndarray | None = None) -> DataFrame:
     """Small-query fast path: when the candidate posting volume is tiny
     (known from the dictionary — no extra job), ONE collect job fetches
     the blocks and the driver decodes/scores them, skipping the
@@ -453,6 +473,8 @@ def _topk_small_query(spark: SparkSession, blocks: DataFrame,
                                         nt=("term", "nunique"))
     if mode == "and":
         agg = agg[agg["nt"] == len(present)]
+    if exclude is not None and exclude.size:
+        agg = agg[~agg.index.isin(exclude)]
     ids = agg.index.to_numpy()
     scores = agg["score"].to_numpy()
     order = np.lexsort((ids, -scores))[:k]
@@ -514,13 +536,30 @@ def query_topk_index(spark: SparkSession,
                                  * F.col("block_max_tfnorm"))
 
     total_postings = sum(info[t]["df"] for t in present)
+
+    # exclusion set (tombstones), collected lazily AT MOST once: the
+    # small-query and θ-seed paths need it driver-side so that θ is the
+    # k-th best score among docs that can actually be returned (seeding
+    # from an excluded doc could overshoot and prune live top-k blocks)
+    _exc: list = []
+
+    def exclude_set() -> np.ndarray | None:
+        if not _exc:
+            _exc.append(None if exclude_ids is None
+                        else _collect_exclude_ids(exclude_ids))
+        return _exc[0]
+
     # small queries (candidate volume known from the dictionary, no extra
     # job) score driver-side in ONE collect — skips the python-worker
     # decode round + aggregation shuffle; rank-identical
-    if (exclude_ids is None and metrics_out is None
-            and 0 < total_postings <= small_query_postings):
+    if (metrics_out is None and 0 < total_postings <= small_query_postings
+            and (exclude_ids is None or exclude_set() is not None)):
         return _topk_small_query(spark, blocks, present, idf_by_term, k,
-                                 mode, k1, b, avgdl)
+                                 mode, k1, b, avgdl, exclude=exclude_set())
+    if exclude_ids is not None and prune:
+        # pruning with exclusions is safe only when the θ seed can be
+        # cleaned of excluded docs driver-side; otherwise exactness wins
+        prune = exclude_set() is not None
     if metrics_out is not None:
         metrics_out["blocks_total"] = blocks.count()
 
@@ -538,7 +577,8 @@ def query_topk_index(spark: SparkSession,
                        .select("doc_id_first", "doc_id_last", "ub")
                        .toPandas())
             kept = _and_range_prune(spark, blocks, rarest, rng_pdf, present,
-                                    idf_by_term, k, k1, b, avgdl)
+                                    idf_by_term, k, k1, b, avgdl,
+                                    exclude=exclude_set())
             if kept is not None:
                 rare_blocks, ranges = kept
             else:
@@ -563,8 +603,12 @@ def query_topk_index(spark: SparkSession,
         # of a handful of rows)
         seed_n = max(8, (4 * k) // max(meta.get("block_size", 128), 1) + 2)
         seed = blocks.orderBy(F.desc("ub")).limit(seed_n).toPandas()
-        seed_scores = (_decode_block_rows(seed, idf_by_term, k1, b, avgdl)
-                       .groupby("doc_id")["score"].sum().to_numpy())
+        seed_sum = (_decode_block_rows(seed, idf_by_term, k1, b, avgdl)
+                    .groupby("doc_id")["score"].sum())
+        exc = exclude_set()
+        if exc is not None and exc.size:
+            seed_sum = seed_sum[~seed_sum.index.isin(exc)]
+        seed_scores = seed_sum.to_numpy()
         if seed_scores.size >= k:
             theta = float(np.partition(seed_scores, -k)[-k])
             if len(present) > 1:

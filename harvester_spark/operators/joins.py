@@ -46,8 +46,14 @@ def salted_join(big: DataFrame, dim: DataFrame, key: str, *,
     (key, salt) — a hot key's rows spread over ``salts`` tasks instead of
     one straggler. (AQE's skew-join split handles sort-merge cases
     adaptively; explicit salting is the deterministic form that also works
-    for aggregations feeding the join.) Row-multiplicity-safe: each big
-    row matches exactly one replica of its dim row."""
+    for aggregations feeding the join.) Row-multiplicity-safe for
+    inner/left ONLY: each big row matches exactly one replica of its dim
+    row, but a dim row with NO big-side match would surface once per salt
+    replica under right/full outer — so those are rejected."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "unmatched dim rows would duplicate once per salt replica")
     big_s = big.withColumn("__salt", (F.rand(seed=42) * salts).cast("int"))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))

@@ -178,7 +178,10 @@ def apply_chains_by_collection(df: DataFrame, key_col: str,
     parts = []
     for key, chain in chains.items():
         parts.append(apply_chain(df.filter(F.col(key_col) == key), chain))
-    rest = df.filter(~F.col(key_col).isin(list(chains)))
+    # NULL keys match no chain AND would fail a bare ~isin() (NULL, not
+    # true) — route them to the default branch explicitly
+    rest = df.filter(F.col(key_col).isNull()
+                     | ~F.col(key_col).isin(list(chains)))
     parts.append(apply_chain(rest, default) if default else rest)
     out = parts[0]
     for p in parts[1:]:

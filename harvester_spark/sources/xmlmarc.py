@@ -185,11 +185,19 @@ def parse_marc_records(docs: DataFrame, blob_col: str, *,
             for rid, blob in zip(pdf["id"], pdf["blob"]):
                 if blob is None:
                     continue
-                for i, rec in enumerate(iter_marc_records(bytes(blob))):
+                # skip-on-malformed, same contract as parse_xml_records'
+                # ParseError skip: one corrupt blob must not fail the job;
+                # the count-reconciliation check surfaces the drop
+                try:
+                    recs = [json.dumps(parse_marc_record(rec),
+                                       sort_keys=True)
+                            for rec in iter_marc_records(bytes(blob))]
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    continue
+                for i, payload in enumerate(recs):
                     ids.append(int(rid))
                     idxs.append(i)
-                    payloads.append(json.dumps(parse_marc_record(rec),
-                                               sort_keys=True))
+                    payloads.append(payload)
             if ids:
                 yield pd.DataFrame({"id": ids, "record_idx": idxs,
                                     "marc_json": payloads})

@@ -185,8 +185,10 @@ def query_topk_incremental(spark: SparkSession, root: str | Path, query: str,
         if not tables.is_committed(seg / "postings"):
             continue
         excl = tombstoned_ids(spark, root, after_seq=seq)
+        # prune=True is safe with exclusions since the θ seed now drops
+        # tombstoned docs before the threshold is set (bm25.exclude_set)
         parts.append(query_topk_index(spark, seg, query, k, mode=mode,
-                                      prune=False, exclude_ids=excl))
+                                      exclude_ids=excl))
     if not parts:
         return spark.createDataFrame([], SCORE_SCHEMA)
     allscores = parts[0]

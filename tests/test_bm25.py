@@ -120,6 +120,35 @@ def test_tie_break_doc_id_asc(oracle):
             assert d[i] < d[i + 1]
 
 
+@pytest.mark.parametrize("q,mode", [("import", "or"),
+                                    ("import def", "or"),
+                                    ("def class return", "and"),
+                                    ("self import", "and")])
+def test_exclude_ids_with_pruning_exact(spark, index_dir, oracle, q, mode):
+    """ADVICE r2 (medium): excluding the CURRENT top docs while pruning is
+    engaged must not lose live docs — θ must be seeded from non-excluded
+    docs only. Excluded = the true top-3 (the exact docs whose scores
+    would overshoot θ)."""
+    want_all = oracle.topk(tokenize_query(q), 50, mode=mode)
+    excl = [int(x) for x in want_all["doc_id"].iloc[:3]]
+    want = want_all[~want_all["doc_id"].isin(excl)].head(10)
+    excl_df = spark.createDataFrame([(i,) for i in excl], "doc_id long")
+    pruned = query_topk_index(spark, index_dir, q, 10, mode=mode,
+                              prune=True, prune_min_postings=0,
+                              small_query_postings=0,
+                              exclude_ids=excl_df).toPandas()
+    full = query_topk_index(spark, index_dir, q, 10, mode=mode, prune=False,
+                            small_query_postings=0,
+                            exclude_ids=excl_df).toPandas()
+    assert_rank_identical(pruned, want.reset_index(drop=True),
+                          f"exclude+prune {mode} {q!r}")
+    assert list(pruned["doc_id"]) == list(full["doc_id"])
+    # driver fast path honors exclusions too
+    fast = query_topk_index(spark, index_dir, q, 10, mode=mode,
+                            exclude_ids=excl_df).toPandas()
+    assert list(fast["doc_id"]) == list(want["doc_id"])
+
+
 @pytest.mark.parametrize("q,mode", [("import ident_3", "or"),
                                     ("def class return", "or"),
                                     ("def class return", "and"),

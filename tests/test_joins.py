@@ -47,3 +47,18 @@ def test_salted_join_correct_under_skew(spark):
     assert bad == 0
     agg = got.groupBy("k").count().filter(F.col("k") == 1).first()
     assert agg["count"] == 9500
+
+
+def test_salted_join_rejects_outer(spark):
+    """ADVICE r2: right/full outer would emit unmatched dim rows once per
+    salt replica — rejected up front."""
+    import pytest
+    big = spark.range(3).select(F.col("id").alias("k"))
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, dim, "k", how=how)
+    # left stays fine: unmatched BIG rows appear exactly once
+    left = salted_join(big.union(spark.sql("SELECT 99 AS k")), dim, "k",
+                       how="left")
+    assert left.count() == 4

@@ -211,3 +211,23 @@ def test_apply_chains_by_collection(spark):
         default=["constant?dest=k&value=-"]).collect()
     by = {r["doc_id"]: r["k"] for r in out}
     assert by[0] == "x" and by[1] == "-" and by[2] == "-"
+
+
+def test_apply_chains_null_key_routes_to_default(spark):
+    """ADVICE r2: NULL collection keys must hit the default branch, not
+    vanish (bare ~isin() is NULL for NULL keys)."""
+    from harvester_spark.plans.transforms import apply_chains_by_collection
+    df = spark.createDataFrame(
+        [(0, "en", "The X"), (1, None, "Y"), (2, None, "Z")],
+        "doc_id long, lang string, title string")
+    out = apply_chains_by_collection(
+        df, "lang",
+        {"en": ["sort_title?col=title&dest=k"]},
+        default=["constant?dest=k&value=-"]).collect()
+    assert len(out) == 3
+    by = {r["doc_id"]: r["k"] for r in out}
+    assert by == {0: "x", 1: "-", 2: "-"}
+    # and with NO default: NULL-key rows pass through untouched
+    out2 = apply_chains_by_collection(
+        df, "lang", {"en": ["sort_title?col=title&dest=k"]})
+    assert out2.count() == 3

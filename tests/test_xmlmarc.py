@@ -81,6 +81,21 @@ def test_parse_marc_records_spark(spark):
     assert titles == ["Hello", "World"]
 
 
+def test_parse_marc_records_skips_malformed_blob(spark):
+    """ADVICE r2: a corrupt blob (non-numeric leader length) must be
+    skipped per-document — the XML sibling's skip-and-reconcile contract —
+    not fail the whole Spark job."""
+    good = marc_bytes({"001": "ok"}, [("245", "0", "0", [("a", "Fine")])])
+    docs = spark.createDataFrame(
+        [(1, bytearray(good)),
+         (2, bytearray(b"XXXXX not a marc record at all \x1d")),
+         (3, bytearray(good[:10]))],  # truncated mid-leader
+        "doc_id long, blob binary")
+    rows = parse_marc_records(docs, "blob").collect()
+    assert [r["id"] for r in rows] == [1]
+    assert json.loads(rows[0]["marc_json"])["controls"]["001"] == "ok"
+
+
 from hypothesis import given, settings, strategies as st
 
 _sub_text = st.text(
