@@ -63,6 +63,83 @@ def dejson_array(col: str | Column) -> Column:
         F.get_json_object(x, "$.name"), x))
 
 
+def _variant_truthy(x: Column) -> Column:
+    """Approximate the reference's ``if flatdata:`` guard for metadata
+    values: non-null, non-empty-string, non-empty-array. (Numeric 0/false
+    are treated as truthy here — display metadata never carries them.)"""
+    s = x.try_cast("string")
+    arr = x.try_cast("array<variant>")
+    return (x.isNotNull()
+            & ~F.coalesce(s == "", F.lit(False))
+            & ~F.coalesce(F.size(arr) == 0, F.lit(False)))
+
+
+def dejson_deep(col: str | Column, *, depth: int = 6) -> Column:
+    """Arbitrary-depth ``dejson`` (solr_updater.py:137-180) over a JSON
+    string column, via Spark 4 VariantType — the heterogeneous nesting
+    (lists of dicts of lists, any shape per row) that static struct
+    schemas cannot hold.
+
+    Exactly the reference's recursion, depth-bounded (``depth`` levels of
+    LIST nesting; deeper values pass through unchanged):
+
+    - list  → element-wise recursion (solr_updater.py:150-154)
+    - dict  → first non-null of ``item``/``name``/``text``; a falsy
+      extracted value keeps the ORIGINAL dict (the ``if flatdata:`` guard,
+      :170-175); the extracted value is NOT recursed into, same as the
+      reference
+    - string that parses as a JSON object → its ``name`` member if present
+      (``unpack_if_json``, :156-168)
+    - anything else passes through
+
+    Divergence (variant cannot express it): a JSON-null ``item``/``name``/
+    ``text`` member reads as ABSENT, where the reference's ``dict.get``
+    chain would stop at the null. Returns a VARIANT column; cast to
+    string for JSON text, or ``try_cast`` to a concrete type."""
+
+    def pick(c: Column) -> Column:
+        got = F.coalesce(
+            F.try_variant_get(c, "$.item", "variant"),
+            F.try_variant_get(c, "$.name", "variant"),
+            F.try_variant_get(c, "$.text", "variant"))
+        # bind `got` once (transform(array(x), λ) + element_at): HOF lambda
+        # args are variables; multiple Column references re-evaluate trees
+        return F.element_at(
+            F.transform(F.array(got),
+                        lambda g: F.when(_variant_truthy(g), g)), 1)
+
+    def embedded(c: Column) -> Column:
+        # only STRING scalars re-parse (a dict's own JSON text must not
+        # round-trip through the name-unpack a second time)
+        p = F.try_parse_json(c.try_cast("string"))
+        return F.when(F.schema_of_variant(c) == "STRING",
+                      F.try_variant_get(p, "$.name", "variant"))
+
+    def dj(c: Column, d: int) -> Column:
+        if d <= 0:
+            return c
+        arr = c.try_cast("array<variant>")
+        mapped = F.when(
+            arr.isNotNull(),
+            F.transform(arr, lambda x: dj(x, d - 1)).cast("variant"))
+        return F.coalesce(mapped, pick(c), embedded(c), c)
+
+    # bind the parsed variant once — dj references its argument ~6 times
+    return F.element_at(
+        F.transform(F.array(F.parse_json(_c(col))),
+                    lambda v: dj(v, depth)), 1)
+
+
+def dejson_deep_str(col: str | Column, *, depth: int = 6) -> Column:
+    """:func:`dejson_deep` rendered for display/compare: string scalars
+    come back raw (unquoted), everything else as compact JSON text."""
+    v = dejson_deep(col, depth=depth)
+    return F.element_at(
+        F.transform(F.array(v), lambda x: F.when(
+            F.schema_of_variant(x) == "STRING", x.try_cast("string"))
+            .otherwise(x.cast("string"))), 1)
+
+
 # ---------------------------------------------------------------------------
 # setprop — path-addressed nested mutation
 # ---------------------------------------------------------------------------

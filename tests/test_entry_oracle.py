@@ -22,6 +22,10 @@ spec.loader.exec_module(entry_mod)
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+# extra entries: same contract, kept off the driver's capped list but
+# held to the identical oracle gate here
+QUERIES.update(entry_mod.extra_queries())
+ORACLES.update(entry_mod.extra_oracle_sql())
 
 
 @pytest.fixture(scope="module")

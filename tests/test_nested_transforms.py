@@ -200,6 +200,108 @@ def test_upsert_tally(spark):
         == (4, 1, 1, 2)
 
 
+# ---------------------------------------------------------------------------
+# dejson_deep: arbitrary-depth flatten vs a python model of the reference
+# ---------------------------------------------------------------------------
+
+def _ref_dejson(data):
+    """Python model of the reference's recursive dejson
+    (solr_updater.py:137-180), adjusted for the two documented variant
+    divergences: dict members are looked up first-non-null (JSON null ==
+    absent) and only string scalars go through unpack_if_json."""
+    import json as _json
+    if not data:
+        return data
+    if isinstance(data, list):
+        return [_ref_dejson(d) for d in data]
+    if isinstance(data, dict):
+        flat = None
+        for key in ("item", "name", "text"):
+            if data.get(key) is not None:
+                flat = data[key]
+                break
+        # the engine's truthiness guard: null/""/[] keep the dict
+        # (numeric 0 and {} count as truthy — documented divergence)
+        if flat is None or flat == "" and isinstance(flat, str) \
+                or isinstance(flat, list) and not flat:
+            return data
+        return flat
+    if isinstance(data, str):
+        try:
+            j = _json.loads(data)
+        except ValueError:
+            return data
+        if isinstance(j, dict) and j.get("name") is not None:
+            return j["name"]
+        return data
+    return data
+
+
+def _render(v):
+    """Match dejson_deep_str: raw string for string scalars, compact JSON
+    (sorted keys — variant sorts object keys) otherwise."""
+    import json as _json
+    if isinstance(v, str):
+        return v
+    return _json.dumps(v, separators=(",", ":"), sort_keys=True,
+                       ensure_ascii=False)
+
+
+def test_dejson_deep_matches_reference_model(spark):
+    import json as _json
+    from harvester_spark.functions.nested import dejson_deep_str
+    values = [
+        [["s0", {"item": ["a", "b"]}], {"name": "top"}],
+        {"text": "deep"},
+        ['{"name": "e"}', "plain", 7],
+        [[["deep", [{"name": "lvl4"}]]]],          # 4 levels
+        [{"id": 9}, {"item": ""}],                 # falsy item keeps dict
+        {"item": {"name": "inner"}},               # no recursion into pick
+        {"item": "", "name": "N"},                 # item shadows name
+        "plain string", 17, [], "",
+        [1, [2, [3, [4, [5]]]]],
+        {"name": ["multi", "valued"]},
+        [{"text": "t"}, ["x", {"item": "i"}], '{"id": 3}'],
+    ]
+    rows = [(json_str,) for json_str in
+            (_json.dumps(v, sort_keys=True) for v in values)]
+    df = spark.createDataFrame(rows, "j string")
+    got = [r["f"] for r in
+           df.select(dejson_deep_str("j").alias("f")).collect()]
+    want = [_render(_ref_dejson(v)) for v in values]
+    assert got == want
+
+
+def test_dejson_deep_property(spark):
+    """Randomized nested values (depth ≤4, mixed dict/list/str/int) must
+    flatten identically to the reference model. Seeded generator →
+    deterministic across runs."""
+    import json as _json
+    import random
+    from harvester_spark.functions.nested import dejson_deep_str
+    rng = random.Random(7)
+    scalars = ["abc", "xy z", "", "name", 17, 0, 5, "t"]
+
+    def gen(depth):
+        r = rng.random()
+        if depth == 0 or r < 0.35:
+            return rng.choice(scalars)
+        if r < 0.7:
+            return [gen(depth - 1) for _ in range(rng.randint(0, 3))]
+        keys = rng.sample(["item", "name", "text", "id"],
+                          rng.randint(1, 2))
+        return {k: gen(depth - 1) for k in keys}
+
+    values = [gen(4) for _ in range(120)]
+    rows = [(_json.dumps(v, sort_keys=True),) for v in values]
+    df = spark.createDataFrame(rows, "j string")
+    got = [r["f"] for r in
+           df.select(dejson_deep_str("j").alias("f")).collect()]
+    want = [_render(_ref_dejson(v)) for v in values]
+    for v, g, w in zip(values, got, want):
+        assert g == w, f"input {v!r}: got {g!r} want {w!r}"
+
+
 def test_apply_chains_by_collection(spark):
     from harvester_spark.plans.transforms import apply_chains_by_collection
     df = spark.createDataFrame(
