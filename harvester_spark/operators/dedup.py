@@ -151,6 +151,10 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     sized = (banded.groupBy("band", "band_hash")
              .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
                   F.count("*").alias("sz")))
+    if with_metrics:
+        # metrics and pairs both read the bucket table; without this cache
+        # a caller evaluating both re-runs shingling + banding twice
+        sized = sized.cache()
     metrics = _bucket_drop_metrics(sized, max_bucket, ["band", "band_hash"])
     buckets = sized.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
     # pair generation within bucket: explode × explode with a < b
@@ -244,7 +248,7 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
                        id_col: str = "doc_id", max_hamming: int = 3,
                        chunks: int | None = None, n_docs: int | None = None,
                        target_bucket: int = 512,
-                       max_bucket: int = 100_000,
+                       max_bucket: int = 4096,
                        with_metrics: bool = False):
     """Near-dup pairs by SimHash, Manku-style multi-table blocking.
 
@@ -257,7 +261,22 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
     never silent. C auto-scales with corpus size (``n_docs``; counted if
     not given) so key keyspace ≫ n_docs/target_bucket — the fix for fixed
     16-bit chunks collapsing at ≫10^8 docs.
-    Returns (doc_a, doc_b, hamming) [, metrics DataFrame].
+
+    Candidate-pair volume is bounded, not just bucket size: IDENTICAL
+    fingerprints collapse to one representative (min doc_id) BEFORE
+    blocking, emitting m-1 hamming-0 "star" pairs per m-doc cluster
+    instead of m(m-1)/2 — exact boilerplate (the pathological key
+    collision in practice) costs O(m), and the near-dup graph's
+    CONNECTED COMPONENTS are unchanged: any cross-cluster edge exists for
+    all members iff it exists for the representative. Blocking then runs
+    over DISTINCT fingerprints only, so one bucket emits at most
+    ``max_bucket``²/2 candidates (max_bucket=4096 → ≤8.4M rows before the
+    exact-hamming filter). Consequence for callers: the pair list is
+    component-complete, not edge-complete — member↔member edges of
+    identical-fingerprint clusters are represented via their star.
+    Returns (doc_a, doc_b, hamming) [, metrics: dropped_buckets,
+    dropped_doc_entries, max_dropped_size, identical_fp_groups,
+    identical_fp_extra_docs].
     """
     import itertools
 
@@ -270,6 +289,20 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
         raise ValueError(f"chunks={chunks} must exceed max_hamming={k}")
 
     fp = simhash(docs, content_col=content_col, id_col=id_col)
+    # fp feeds the rep-collapse AND the star join; rep feeds the star join,
+    # the blocking tables, and (with metrics) the identical-fp accounting.
+    # MEMORY_AND_DISK: one 16-byte row per doc / per distinct fingerprint —
+    # spills instead of recomputing the tokenize+agg at corpus scale.
+    from pyspark import StorageLevel
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    rep = (fp.groupBy("simhash")
+           .agg(F.min("doc_id").alias("rep"), F.count("*").alias("gsz"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    zero_pairs = (fp.join(rep.select("simhash", "rep"), "simhash")
+                  .filter(F.col("doc_id") != F.col("rep"))
+                  .select(F.col("rep").alias("doc_a"),
+                          F.col("doc_id").alias("doc_b"),
+                          F.lit(0).cast("int").alias("hamming")))
 
     sizes = [64 // chunks + (1 if i < 64 % chunks else 0)
              for i in range(chunks)]
@@ -289,14 +322,26 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
             shift += sizes[c]  # ≤ 64 - k·(64//C) ≤ 56 bits total: no overflow
         key_structs.append(F.struct(F.lit(ci).alias("ci"), acc.alias("cv")))
 
-    keyed = (fp.select("doc_id", "simhash",
-                       F.explode(F.array(*key_structs)).alias("kc"))
+    reps_fp = rep.select(F.col("rep").alias("doc_id"), "simhash")
+    keyed = (reps_fp.select("doc_id", "simhash",
+                            F.explode(F.array(*key_structs)).alias("kc"))
              .select("doc_id", "simhash", F.col("kc.ci").alias("ci"),
                      F.col("kc.cv").alias("cv")))
     sized = (keyed.groupBy("ci", "cv")
              .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"),
                   F.count("*").alias("sz")))
+    if with_metrics:
+        # metrics + cand both read the bucket table — cache it so the
+        # blocking aggregation runs once when a caller evaluates both
+        sized = sized.cache()
     metrics = _bucket_drop_metrics(sized, max_bucket, ["ci", "cv"])
+    if with_metrics:
+        ident = rep.agg(
+            F.sum(F.when(F.col("gsz") > 1, 1).otherwise(0)).cast("long")
+            .alias("identical_fp_groups"),
+            F.sum(F.when(F.col("gsz") > 1, F.col("gsz") - 1).otherwise(0))
+            .cast("long").alias("identical_fp_extra_docs"))
+        metrics = metrics.crossJoin(ident)
     cand = (sized
             .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
             .select(F.explode("xs").alias("a"), F.col("xs"))
@@ -307,7 +352,8 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
                     F.bit_count(F.col("a.simhash").bitwiseXOR(
                         F.col("b.simhash"))).alias("hamming"))
             .distinct()
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .unionByName(zero_pairs))
     if with_metrics:
         return cand, metrics
     return cand

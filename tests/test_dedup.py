@@ -143,6 +143,61 @@ def test_simhash_manku_blocking_recall(spark):
     assert metrics.collect()[0]["dropped_buckets"] == 0
 
 
+def test_simhash_identical_cluster_bounded_output(spark):
+    """VERDICT r2: a 10^4-doc identical-fingerprint cluster must complete
+    with O(m) output (star pairs via rep-collapse), not O(m²) through the
+    bucket explode — and the collapse must be reported in metrics."""
+    same = "import numpy def main return value data result"
+    rows = [(i, same) for i in range(10_000)]
+    rows += [(20_000, "completely different content here xyz")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    pairs, metrics = simhash_near_pairs(docs, max_hamming=3, chunks=4,
+                                        with_metrics=True)
+    n = pairs.count()
+    assert n == 9_999  # star: (0, i) for i in 1..9999 — not 49,995,000
+    star = pairs.filter(F.col("hamming") == 0)
+    assert star.count() == 9_999
+    assert star.agg(F.min("doc_a"), F.max("doc_a")).collect()[0] == (0, 0)
+    m = metrics.collect()[0]
+    assert m["identical_fp_groups"] == 1
+    assert m["identical_fp_extra_docs"] == 9_999
+    assert m["dropped_buckets"] == 0  # 1 distinct fp: nothing to drop
+
+
+def test_simhash_components_preserved_under_collapse(spark):
+    """Rep-collapse changes the edge list but must keep the near-dup
+    graph's connected components: cross-cluster edges surface on the
+    representative."""
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),   # identical to 0
+            (2, "alpha beta gamma delta epsilon eta")]    # near 0/1
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, max_hamming=16,
+                                         chunks=17).collect()}
+    assert pairs.get((0, 1)) == 0            # star edge
+    assert (0, 2) in pairs                   # rep carries the near edge
+    # (1, 2) need not appear — component {0,1,2} is already connected
+
+
+def test_lsh_metrics_do_not_recompute_banding(spark):
+    """VERDICT r2: with_metrics=True must cache the bucket table so that
+    consuming pairs AND metrics runs shingling+banding once (the pairs
+    plan reads the cache)."""
+    same = "import numpy def main return value data result"
+    docs = spark.createDataFrame([(i, same) for i in range(8)],
+                                 "doc_id long, content string")
+    pairs, metrics = minhash_lsh_pairs(docs, max_bucket=100,
+                                       with_metrics=True)
+    metrics.collect()  # materializes the cached bucket table
+    assert "InMemoryTableScan" in pairs._jdf.queryExecution().executedPlan() \
+        .toString() or "InMemoryRelation" in pairs._jdf.queryExecution() \
+        .toString()
+    sp, sm = simhash_near_pairs(docs, chunks=4, with_metrics=True)
+    sm.collect()
+    assert "InMemoryRelation" in sp._jdf.queryExecution().toString()
+
+
 def test_simhash_chunk_plan_scales():
     """Blocking must be corpus-size-aware: bigger corpora get more blocking
     bits (the fixed 16-bit scheme collapsed at >1e8 docs)."""
