@@ -636,6 +636,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("sort_key")))
     q["sort_collection_key"] = sort_collection_key
 
+    def registry_collect(spark, sf):
+        # registry explode→agg composite (map_registry_data,
+        # solr_updater.py:485-544): array-of-collection-structs → parallel
+        # url/name/url::name[::campus] display arrays, shuffle-free
+        from harvester_spark.functions.nested import map_registry_data_expr
+        d = F.col("doc_id")
+        k7 = (d % 7).cast("string")
+        k5 = (d % 5).cast("string")
+        campus_t = "array<struct<id:string,name:string>>"
+        rcampus_t = "array<struct<name:string>>"
+        repo1 = F.struct(
+            F.concat(F.lit("http://registry/repo/"), k5).alias("id"),
+            F.concat(F.lit("Repo "), k5).alias("name"),
+            F.when(d % 2 == 0, F.array(F.struct(F.lit("UCX").alias("name"))))
+            .otherwise(F.lit(None).cast(rcampus_t)).alias("campus"))
+        repo2 = F.struct(
+            F.concat(F.lit("http://registry/repo2/"), k7).alias("id"),
+            F.lit("R2").alias("name"),
+            F.lit(None).cast(rcampus_t).alias("campus"))
+        c1 = F.struct(
+            F.concat(F.lit("http://registry/api/coll/"), k7).alias("id"),
+            F.concat(F.lit("Coll "), k7).alias("name"),
+            F.when(d % 3 == 0, F.array(F.struct(
+                F.lit("http://registry/campus/1").alias("id"),
+                F.lit("UC One").alias("name"))))
+            .otherwise(F.lit(None).cast(campus_t)).alias("campus"),
+            F.array(repo1).alias("repository"))
+        c2 = F.struct(
+            F.concat(F.lit("http://registry/api/c2/"), k7).alias("id"),
+            F.lit("Second").alias("name"),
+            F.lit(None).cast(campus_t).alias("campus"),
+            F.array(repo2).alias("repository"))
+        colls = F.when(d % 4 == 0, F.array(c1, c2)).otherwise(F.array(c1))
+        m = map_registry_data_expr(colls)
+        return (_docs(spark, sf).filter(d < 200)
+                .select("doc_id",
+                        F.concat_ws("|", m["collection_data"])
+                        .alias("coll_data"),
+                        F.concat_ws("|", m["repository_data"])
+                        .alias("repo_data"),
+                        F.when(m["campus_data"].isNotNull(),
+                               F.concat_ws("|", m["campus_data"]))
+                        .otherwise("-").alias("campus_data")))
+    q["registry_collect"] = registry_collect
+
     # ---- window / agg / pagination parity (SURVEY §2.5-2.7) ----
     def first_event_per_user(spark, sf):
         from pyspark.sql import Window
@@ -1131,6 +1176,27 @@ SELECT doc_id,
                  CASE WHEN k = '' THEN '~title unknown' ELSE k END,
                  source, 'https://registry/' || source) AS sort_key
 FROM s
+"""
+
+    o["registry_collect"] = """
+SELECT doc_id,
+       'http://registry/api/coll/' || CAST(doc_id % 7 AS VARCHAR)
+         || '/::Coll ' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '|http://registry/api/c2/'
+                      || CAST(doc_id % 7 AS VARCHAR) || '/::Second'
+                 ELSE '' END AS coll_data,
+       'http://registry/repo/' || CAST(doc_id % 5 AS VARCHAR)
+         || '/::Repo ' || CAST(doc_id % 5 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '::UCX' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '|http://registry/repo2/'
+                      || CAST(doc_id % 7 AS VARCHAR) || '/::R2'
+                 ELSE '' END AS repo_data,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'http://registry/campus/1/::UC One'
+            ELSE '-' END AS campus_data
+FROM documents WHERE doc_id < 200
 """
 
     o["first_event_per_user"] = """

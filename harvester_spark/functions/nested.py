@@ -253,6 +253,72 @@ def facet_decade_display(col: str | Column, *, max_year: int = 2026) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# registry collection/repository/campus fan-out (map_registry_data)
+# ---------------------------------------------------------------------------
+
+def map_registry_data_expr(col: str | Column) -> Column:
+    """The registry→solr-field composite (map_registry_data,
+    solr_updater.py:485-544): a document's array of collection structs →
+    parallel display arrays, one struct column.
+
+    Input element shape: struct<id, name, campus: array<struct<id, name>>,
+    repository: array<struct<id, name, campus: array<struct<name>>>>>.
+
+    - collection_url/name/data: per collection; data = url::name with
+      trailing-slash-normalized url (add_slash, :476-478)
+    - repository_url/name/data: flattened over every collection's
+      repositories; data gains ::campus[0].name when the repo has a campus
+    - campus_url/name/data: the LAST collection carrying a campus wins
+      (the reference reassigns the lists per matching collection).
+      Divergence: the reference's campus_names comprehension iterates
+      ``c`` but reads the leaked ``campus`` loop variable — a Python-2
+      bug that fills the list with one repeated name; here names map
+      campus-wise, the evident intent.
+
+    All transform/flatten expressions — no explode, no shuffle: at 100 TB
+    this is a per-row rewrite inside whole-stage codegen."""
+    from harvester_spark.functions.text import add_slash
+    c = _c(col)
+
+    def coll_data(x):
+        return F.concat_ws("::", add_slash(x["id"]), x["name"])
+
+    def repo_data(r):
+        return F.when(
+            r["campus"].isNotNull() & (F.size(r["campus"]) > 0),
+            F.concat_ws("::", add_slash(r["id"]), r["name"],
+                        r["campus"][0]["name"])) \
+            .otherwise(F.concat_ws("::", add_slash(r["id"]), r["name"]))
+
+    with_campus = F.filter(
+        c, lambda x: x["campus"].isNotNull() & (F.size(x["campus"]) > 0))
+    last_campus = F.element_at(with_campus, -1)["campus"]
+    return F.struct(
+        F.transform(c, lambda x: add_slash(x["id"]))
+        .alias("collection_url"),
+        F.transform(c, lambda x: x["name"]).alias("collection_name"),
+        F.transform(c, coll_data).alias("collection_data"),
+        F.flatten(F.transform(
+            c, lambda x: F.transform(x["repository"],
+                                     lambda r: add_slash(r["id"]))))
+        .alias("repository_url"),
+        F.flatten(F.transform(
+            c, lambda x: F.transform(x["repository"], lambda r: r["name"])))
+        .alias("repository_name"),
+        F.flatten(F.transform(
+            c, lambda x: F.transform(x["repository"], repo_data)))
+        .alias("repository_data"),
+        F.when(F.size(with_campus) > 0, F.transform(
+            last_campus, lambda k: add_slash(k["id"])))
+        .alias("campus_url"),
+        F.when(F.size(with_campus) > 0, F.transform(
+            last_campus, lambda k: k["name"])).alias("campus_name"),
+        F.when(F.size(with_campus) > 0, F.transform(
+            last_campus, lambda k: F.concat_ws(
+                "::", add_slash(k["id"]), k["name"]))).alias("campus_data"))
+
+
+# ---------------------------------------------------------------------------
 # dynamic fields → MapType (eMuseum-style heterogeneous records)
 # ---------------------------------------------------------------------------
 

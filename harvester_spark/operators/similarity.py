@@ -205,9 +205,19 @@ def build_ivf_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
     import json
     from pathlib import Path
 
+    # seeded representative sample: an unordered limit() would take
+    # whichever partitions answer first — on a corpus partitioned by
+    # source (per-repo clusters) the quantizer would train on one skewed
+    # slice. sample() touches every partition with a deterministic seed,
+    # so the quantizer is representative AND reproducible across builds.
+    n_total = emb.count()
+    frac = min(1.0, (2.0 * train_sample) / max(n_total, 1))
+    rows = (emb.select(vec_col).sample(fraction=frac, seed=seed)
+            .limit(train_sample).collect())
+    if not rows:  # tiny/empty corpus: fall back to taking everything
+        rows = emb.select(vec_col).limit(train_sample).collect()
     sample = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
-                        for r in emb.select(vec_col)
-                        .limit(train_sample).collect()])
+                        for r in rows])
     C = _kmeans(sample, n_centroids, seed=seed)
 
     schema = StructType([StructField("vec_id", LongType()),

@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 
 TRANSFORMS: dict[str, Callable[..., DataFrame]] = {}
 
+# column-EXPRESSION twins of the pure col→col transforms: what
+# apply_chains_by_collection uses to compile per-collection chains into
+# one CASE-WHEN routing pass instead of N filtered scans
+EXPR_TRANSFORMS: dict[str, Callable] = {}
+
 
 def register_transform(name: str):
     """Register a DataFrame transform (fn(df, **params) -> df) under a
@@ -90,6 +95,8 @@ def chain_from_profile(profile: dict) -> list:
 # ---------------------------------------------------------------------------
 
 def _col_transform(name: str, expr_fn):
+    EXPR_TRANSFORMS[name] = expr_fn
+
     @register_transform(name)
     def t(df: DataFrame, col: str, dest: str | None = None,
           **kw) -> DataFrame:
@@ -167,14 +174,52 @@ def assert_ready_for_publication(profile: dict, env: str = "prod") -> None:
             "publication — run on stage and QA first")
 
 
+def _compile_chain_exprs(cols: list[str], chain: list | None):
+    """Simulate a chain at the column-expression level: {out_col: Column},
+    or None when any step is not a pure col→col rewrite (filters, setprop,
+    dynamic imports — those need the union path)."""
+    env: dict = {c: F.col(c) for c in cols}
+    for spec in chain or []:
+        name, params = parse_spec(spec)
+        p = dict(params)
+        if name == "constant":
+            env[p["dest"]] = F.lit(p["value"])
+            continue
+        fn = EXPR_TRANSFORMS.get(name)
+        col = p.pop("col", None)
+        dest = p.pop("dest", None) or col
+        if fn is None or col is None or col not in env:
+            return None
+        env[dest] = fn(env[col], **p)
+    return env
+
+
 def apply_chains_by_collection(df: DataFrame, key_col: str,
                                chains: dict, default: list | None = None
                                ) -> DataFrame:
     """Per-collection enrichment chains — the reference's core execution
     shape (one profile per collection, couchdb_runner.py:93-164). Rows are
     routed to their collection's chain; unmatched rows get ``default`` (or
-    pass through). Result is a union of per-chain plans; schemas are
-    aligned by name (chains may add different columns)."""
+    pass through).
+
+    When every chain (and the default) is column-expression-only, the
+    whole routing compiles into ONE ``CASE WHEN collection = k THEN …``
+    pass — one scan of the source regardless of collection count (the
+    reference runs hundreds of collection profiles; N filtered-scan unions
+    would be N passes). Chains with filters / schema mutations /
+    dynamically-imported steps fall back to the union-of-subplans form;
+    schemas are aligned by name (chains may add different columns, missing
+    ones are NULL — both forms agree)."""
+    compiled = {k: _compile_chain_exprs(df.columns, c)
+                for k, c in chains.items()}
+    dflt = (_compile_chain_exprs(df.columns, default) if default
+            else {c: F.col(c) for c in df.columns})
+    if dflt is not None and all(v is not None for v in compiled.values()):
+        try:
+            return _route_single_pass(df, key_col, compiled, dflt)
+        except Exception:
+            pass  # e.g. branch type conflict on a shared output column
+
     parts = []
     for key, chain in chains.items():
         parts.append(apply_chain(df.filter(F.col(key_col) == key), chain))
@@ -187,6 +232,30 @@ def apply_chains_by_collection(df: DataFrame, key_col: str,
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _route_single_pass(df: DataFrame, key_col: str,
+                       compiled: dict, dflt: dict) -> DataFrame:
+    """One-scan routing: for every output column, a CASE over the
+    collection key picking that chain's expression (NULL where a chain
+    doesn't produce the column — unionByName's missing-column fill)."""
+    out_cols = list(df.columns)
+    for env in [*compiled.values(), dflt]:
+        for c in env:
+            if c not in out_cols:
+                out_cols.append(c)
+    key = F.col(key_col)
+    sel = []
+    for c in out_cols:
+        fallback = dflt.get(c, F.col(c) if c in df.columns else F.lit(None))
+        w = None
+        for k, env in compiled.items():
+            v = env.get(c, F.col(c) if c in df.columns else F.lit(None))
+            w = (F.when(key == k, v) if w is None
+                 else w.when(key == k, v))
+        sel.append((w.otherwise(fallback) if w is not None else fallback)
+                   .alias(c))
+    return df.select(*sel)
 
 
 def upsert_tally(existing: DataFrame, incoming: DataFrame, key: str,

@@ -139,3 +139,40 @@ def scan_count_reconciliation(df: DataFrame, expected: int) -> dict:
     boolean instead of raising mid-scan; callers decide policy."""
     got = df.count()
     return {"expected": expected, "got": got, "ok": got == expected}
+
+
+class SchemaContractError(ValueError):
+    pass
+
+
+def assert_schema_contract(df: DataFrame,
+                           required: dict[str, str] | list[str], *,
+                           raise_on_violation: bool = True) -> dict:
+    """Schema-contract check — the Spark-native form of the reference's
+    header assertion (nuxeo_fetcher.py:218-231: the UCLDC fetcher asserts
+    ``dublincore``/``ucldc_schema``/``picture`` are present in the
+    configured document properties before any record is fetched).
+
+    ``required`` is either a list of column names, or a {column: type}
+    dict where type is a DDL string ("string", "array<string>", "long",
+    …). Purely metadata-driven — inspects ``df.schema``, launches NO job.
+    Returns a report {ok, missing, wrong_type: {col: (got, want)}};
+    raises :class:`SchemaContractError` with the full report by default,
+    matching the reference's fail-before-fetch contract."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    wants = (required if isinstance(required, dict)
+             else {c: None for c in required})
+    missing = [c for c in wants if c not in by_name]
+    wrong: dict[str, tuple[str, str]] = {}
+    for c, ddl in wants.items():
+        if ddl is None or c not in by_name:
+            continue
+        if by_name[c] != _parse_datatype_string(ddl):
+            wrong[c] = (by_name[c].simpleString(), ddl)
+    report = {"ok": not missing and not wrong, "missing": missing,
+              "wrong_type": wrong}
+    if raise_on_violation and not report["ok"]:
+        raise SchemaContractError(f"schema contract violated: {report}")
+    return report

@@ -315,6 +315,83 @@ def test_apply_chains_by_collection(spark):
     assert by[0] == "x" and by[1] == "-" and by[2] == "-"
 
 
+def test_map_registry_data_expr(spark):
+    """map_registry_data (solr_updater.py:485-544): parallel display
+    arrays, repo campus suffix, LAST-collection-with-campus wins."""
+    from harvester_spark.functions.nested import map_registry_data_expr
+    schema = ("colls array<struct<id:string,name:string,"
+              "campus:array<struct<id:string,name:string>>,"
+              "repository:array<struct<id:string,name:string,"
+              "campus:array<struct<name:string>>>>>>")
+    rows = [([
+        {"id": "http://r/c/1", "name": "C1",
+         "campus": [{"id": "http://r/k/a", "name": "KA"}],
+         "repository": [{"id": "http://r/rp/1", "name": "R1",
+                         "campus": [{"name": "UCB"}]}]},
+        {"id": "http://r/c/2/", "name": "C2",
+         "campus": [{"id": "http://r/k/b", "name": "KB"},
+                    {"id": "http://r/k/c", "name": "KC"}],
+         "repository": [{"id": "http://r/rp/2", "name": "R2",
+                         "campus": None}]},
+    ],)]
+    df = spark.createDataFrame(rows, schema)
+    m = df.select(map_registry_data_expr("colls").alias("m")).collect()[0]["m"]
+    assert m["collection_url"] == ["http://r/c/1/", "http://r/c/2/"]
+    assert m["collection_data"] == ["http://r/c/1/::C1", "http://r/c/2/::C2"]
+    assert m["repository_data"] == ["http://r/rp/1/::R1::UCB",
+                                    "http://r/rp/2/::R2"]
+    # last collection with campus wins; names map campus-wise
+    assert m["campus_name"] == ["KB", "KC"]
+    assert m["campus_data"] == ["http://r/k/b/::KB", "http://r/k/c/::KC"]
+    # no campus anywhere -> NULL campus fields
+    rows2 = [([{"id": "http://r/c/9", "name": "C9", "campus": None,
+                "repository": [{"id": "http://r/rp/9", "name": "R9",
+                                "campus": None}]}],)]
+    m2 = (spark.createDataFrame(rows2, schema)
+          .select(map_registry_data_expr("colls").alias("m"))
+          .collect()[0]["m"])
+    assert m2["campus_url"] is None and m2["campus_data"] is None
+
+
+def test_apply_chains_single_pass_for_expression_chains(spark, tmp_path):
+    """VERDICT r2: a 10-collection expression-only config must compile to
+    ONE scan of the source (CASE WHEN routing), not 11 filtered unions —
+    and agree with the union form exactly."""
+    from harvester_spark.plans.transforms import apply_chains_by_collection
+    src_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"c{i % 12}", f"The Title {i}") for i in range(200)],
+        "doc_id long, coll string, title string").write.parquet(src_path)
+    df = spark.read.parquet(src_path)
+    chains = {f"c{i}": ["sort_title?col=title&dest=k",
+                        f"constant?dest=rights&value=r{i}"]
+              for i in range(10)}
+    out = apply_chains_by_collection(df, "coll", chains,
+                                     default=["constant?dest=rights&value=-"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 2, plan
+    assert "Union" not in plan
+    got = sorted((r["doc_id"], r["k"], r["rights"]) for r in out.collect())
+    assert len(got) == 200
+    # spot-check routing: coll c3 rows got r3, unmatched (c10/c11) got '-'
+    by = {r[0]: r for r in got}
+    assert by[3][2] == "r3" and by[3][1] == "title 3"
+    assert by[10][2] == "-" and by[10][1] is None  # default adds no k
+
+
+def test_apply_chains_fallback_for_filter_chains(spark):
+    """Chains containing a FILTER step can't compile to CASE routing —
+    they must take the union path and still drop the right rows."""
+    from harvester_spark.plans.transforms import apply_chains_by_collection
+    df = spark.createDataFrame(
+        [(0, "en", "keep"), (1, "en", ""), (2, "fr", "")],
+        "doc_id long, lang string, title string")
+    out = apply_chains_by_collection(
+        df, "lang", {"en": ["require_fields?cols=title"]}).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 2]  # en row with empty title filtered; fr untouched
+
+
 def test_apply_chains_null_key_routes_to_default(spark):
     """ADVICE r2: NULL collection keys must hit the default branch, not
     vanish (bare ~isin() is NULL for NULL keys)."""

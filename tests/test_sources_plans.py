@@ -43,6 +43,29 @@ def test_write_jsonl_pages(spark, tmp_path):
     assert {"doc_id", "lang"} <= set(lines[0])
 
 
+def test_schema_contract_assert(spark):
+    """Header-assert analogue (nuxeo_fetcher.py:218-231): required
+    columns/types checked from metadata only, fail-before-fetch."""
+    import pytest
+    from harvester_spark.sources.documents import (SchemaContractError,
+                                                   assert_schema_contract)
+    df = spark.createDataFrame(
+        [(1, "x", ["a"])], "doc_id long, title string, tags array<string>")
+    ok = assert_schema_contract(df, {"doc_id": "long", "title": "string",
+                                     "tags": "array<string>"})
+    assert ok == {"ok": True, "missing": [], "wrong_type": {}}
+    # names-only form
+    assert assert_schema_contract(df, ["doc_id", "title"])["ok"]
+    # missing column -> raises with the report
+    with pytest.raises(SchemaContractError, match="ucldc_schema"):
+        assert_schema_contract(df, ["doc_id", "ucldc_schema"])
+    # wrong type -> reported, no raise when asked
+    rep = assert_schema_contract(df, {"doc_id": "string"},
+                                  raise_on_violation=False)
+    assert not rep["ok"] and rep["wrong_type"] == {"doc_id": ("bigint",
+                                                              "string")}
+
+
 def test_scan_count_reconciliation(spark):
     docs = read_documents(spark, f"{SF}/documents.parquet")
     assert scan_count_reconciliation(docs, 500)["ok"]

@@ -152,3 +152,40 @@ def test_ivf_index_exact_at_full_probe_and_recall(spark, emb, tmp_path):
     got_ids = {r["vec_id"] for r in part.collect()}
     assert 5 in got_ids                    # query's own vector always found
     assert len(got_ids & {e[0] for e in exp}) >= 5  # decent recall
+
+
+def test_ivf_quantizer_representative_on_skewed_partitions(spark, tmp_path):
+    """VERDICT r2: the quantizer trains on a seeded sample() that touches
+    every partition — NOT limit().collect(), which on a per-repo-clustered
+    corpus reads one partition's skewed slice. Two builds must be
+    reproducible, and partial-probe recall must hold on EVERY cluster,
+    including ones an unordered limit might never have seen."""
+    import json
+    import numpy as np
+    from harvester_spark.operators.similarity import (build_ivf_index,
+                                                      cosine_topk,
+                                                      query_ivf_index)
+    rng = np.random.default_rng(3)
+    dim, per = 16, 120
+    centers = rng.normal(size=(4, dim))
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            v = centers[c] + 0.05 * rng.normal(size=dim)
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+           # adversarial layout: each partition holds exactly one cluster
+           .repartitionByRange(4, "vec_id"))
+    idx_a, idx_b = tmp_path / "a", tmp_path / "b"
+    build_ivf_index(emb, idx_a, n_centroids=4, train_sample=200, seed=7)
+    build_ivf_index(emb, idx_b, n_centroids=4, train_sample=200, seed=7)
+    ca = json.loads((idx_a / "ivf_meta.json").read_text())["centroids"]
+    cb = json.loads((idx_b / "ivf_meta.json").read_text())["centroids"]
+    assert ca == cb                        # reproducible across builds
+    for c in range(4):                     # recall holds on every cluster
+        qid = c * per
+        q = rows[qid][1]
+        want = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+        got = {r["vec_id"] for r in
+               query_ivf_index(spark, idx_a, q, 10, nprobe=1).collect()}
+        assert len(got & want) >= 8, f"cluster {c}: recall {len(got & want)}/10"
