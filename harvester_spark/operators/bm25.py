@@ -311,7 +311,9 @@ def _localized_other_ub(blocks: DataFrame, per_term: dict[str, float],
 
 def _theta_filter_localized(blocks: DataFrame, present: list[str],
                             per_term: dict[str, float], theta: float,
-                            range_docs: int) -> DataFrame:
+                            range_docs: int,
+                            bound_blocks: DataFrame | None = None
+                            ) -> DataFrame:
     """Keep only blocks whose localized upper bound can reach θ.
 
     Safety: for a doc d inside block b of term t, score(d) ≤ ub_t(b) +
@@ -320,9 +322,16 @@ def _theta_filter_localized(blocks: DataFrame, present: list[str],
     rid_first, other at rid_last) — exact; wider-spanning blocks fall
     back to the GLOBAL complement sum (safe, never sharper than truth).
     A (term, range) pair missing from the localized table means no other
-    term has any block there → other_ub = 0."""
+    term has any block there → other_ub = 0.
+
+    ``bound_blocks``: the block set the complement bounds are computed
+    over. When θ refinement split off an already-decoded probe slice,
+    pass the FULL pre-split set here — a doc's probe contributions are
+    real score mass; bounding the complement from the rest-only slice
+    would under-count it and prune unsafely."""
     W = range_docs
-    other = _localized_other_ub(blocks, per_term, W)
+    other = _localized_other_ub(bound_blocks if bound_blocks is not None
+                                else blocks, per_term, W)
     total_ub = sum(per_term.values())
     global_other = F.create_map(*[x for t in present for x in
                                   (F.lit(t), F.lit(total_ub - per_term[t]))])
@@ -351,7 +360,9 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
                      rng_pdf: pd.DataFrame, present: list[str],
                      idf_by_term: dict[str, float], k: int,
                      k1: float, b: float, avgdl: float,
-                     exclude: np.ndarray | None = None
+                     exclude: np.ndarray | None = None,
+                     probe_frac: float = 0.0,
+                     seed_block_cap: int = 4096
                      ) -> tuple[DataFrame, DataFrame] | None:
     """Conjunctive θ-pruning over the rarest term's block ranges.
 
@@ -359,8 +370,20 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
     its rare posting in R has score(d) ≤ ub_rare(R) + Σ_{s≠rare}
     maxUB_s(s-blocks overlapping R) — d's s-block contains d ∈ R so it
     overlaps R. θ = the k-th best FULL intersection score decoded from a
-    driver-side seed window (the best-bound ranges), a lower bound on the
-    true k-th best; ranges whose bound < θ drop with all their blocks.
+    seed window over the best-bound ranges, a lower bound on the true
+    k-th best; ranges whose bound < θ drop with all their blocks.
+
+    θ refinement (``probe_frac`` > 0): the seed window widens from ~1
+    range to the top fraction of ranges — a doc in a seed range has
+    every posting block overlapping that range, so decoded seed scores
+    with one block per present term (nunique == n_terms) are EXACT, and
+    a wider window finds a tighter k-th best. The decode stays
+    driver-side (a few hundred block rows), capped at
+    ``seed_block_cap`` collected blocks — truncation only shrinks the
+    candidate pool, never invalidates θ. (A distributed probe was
+    measured and rejected: narrow ranges overlap so many other-term
+    blocks that the probe decoded ~half the postings before pruning.)
+
     Returns (pruned rare blocks, surviving ranges) or None when θ cannot
     be established (seed found < k intersection docs — fall back to the
     plain range semi-join, still exact)."""
@@ -386,8 +409,10 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
     other_sum[per_rt["ridx"].to_numpy()] = per_rt["other_sum"].to_numpy()
     bound = rng_pdf["ub"].to_numpy() + other_sum
 
-    # θ seed: decode ALL terms' blocks overlapping the best-bound ranges
-    n_seed = min(n_rng, max(1, (4 * k) // 128 + 1))
+    # seed window: decode ALL terms' blocks overlapping the best-bound
+    # ranges, driver-side; refinement widens the window to probe_frac
+    n_seed = min(n_rng, max(1, (4 * k) // 128 + 1,
+                            int(probe_frac * n_rng)))
     top = np.argsort(-bound)[:n_seed]
     seed_ranges = spark.createDataFrame(
         [(int(rng_pdf["doc_id_first"].iat[i]),
@@ -398,6 +423,7 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
         (F.col("doc_id_last") >= F.col("slo"))
         & (F.col("doc_id_first") <= F.col("shi")), "left_semi")
         .select("term", "doc_id_first", "doc_count", "deltas", "tfs", "dls")
+        .limit(seed_block_cap)
         .toPandas())
     if not len(seed_pdf):
         return None
@@ -432,6 +458,60 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
         (F.col("doc_id_first") == F.col("lo"))
         & (F.col("doc_id_last") == F.col("hi")), "left_semi")
     return rare_kept, kept
+
+
+def _decode_agg(blocks: DataFrame, idf_by_term: dict[str, float],
+                k1: float, b: float, avgdl: float) -> DataFrame:
+    """Decode posting blocks → per-doc partial sums: (doc_id, score, nt).
+    nt counts decoded blocks per doc; a doc has exactly one block per
+    matched term, so nt == n_terms ⟺ every posting of the doc was in the
+    decoded set ⟺ its score is EXACT (the probe-θ safety argument)."""
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _decode_block_rows(pdf, idf_by_term, k1, b, avgdl)
+
+    return (blocks.select("term", "doc_id_first", "doc_count", "deltas",
+                          "tfs", "dls")
+            .mapInPandas(decode, SCORE_SCHEMA)
+            .groupBy("doc_id").agg(F.sum("score").alias("score"),
+                                   F.count("*").alias("nt")))
+
+
+def _refine_theta_or(blocks: DataFrame, theta: float, k: int,
+                     probe_frac: float, idf_by_term: dict[str, float],
+                     k1: float, b: float, avgdl: float,
+                     exclude_ids: DataFrame | None,
+                     metrics_out: dict | None
+                     ) -> tuple[float, DataFrame, DataFrame | None]:
+    """Decode-time θ refinement (OR mode): decode the top-UB slice of
+    blocks FIRST, refine θ to the k-th best partial per-doc sum, and hand
+    the remaining blocks a tighter prune bound.
+
+    Safety: every partial sum ≤ the doc's true score, so the k-th best
+    partial is ≤ the true k-th best — always a valid θ. The probe's
+    decoded contributions are cached and reused in the final aggregation
+    (pre_agg), so nothing is decoded twice.
+    Returns (θ, remaining blocks, pre-aggregated probe contributions)."""
+    from pyspark import StorageLevel
+
+    cut = blocks.approxQuantile("ub", [1.0 - probe_frac], 0.01)
+    if not cut or cut[0] is None:
+        return theta, blocks, None
+    probe = blocks.filter(F.col("ub") >= cut[0])
+    rest = blocks.filter(F.col("ub") < cut[0])
+    probe_agg = (_decode_agg(probe, idf_by_term, k1, b, avgdl)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    cand = probe_agg
+    if exclude_ids is not None:
+        cand = cand.join(F.broadcast(exclude_ids.select("doc_id")),
+                         "doc_id", "left_anti")
+    rows = cand.orderBy(F.desc("score")).limit(k).collect()
+    if metrics_out is not None:
+        metrics_out["blocks_probe"] = probe.count()
+    if len(rows) >= k:
+        theta = max(theta, float(rows[-1]["score"]))
+    return theta, rest, probe_agg
 
 
 def _collect_exclude_ids(exclude_ids: DataFrame,
@@ -489,6 +569,9 @@ def query_topk_index(spark: SparkSession,
                      prune_min_postings: int = 50_000,
                      range_docs: int = 1 << 20,
                      small_query_postings: int = 65_536,
+                     refine_theta: bool = True,
+                     probe_frac: float = 0.10,
+                     refine_min_postings: int = 262_144,
                      exclude_ids: DataFrame | None = None,
                      metrics_out: dict | None = None) -> DataFrame:
     """Top-k BM25 over the prebuilt index with block-max pruning.
@@ -503,11 +586,20 @@ def query_topk_index(spark: SparkSession,
 
     AND mode combines three exact prunes: (1) every intersection doc lies
     inside the RAREST term's posting-block ranges, so other terms' blocks
-    missing all rare ranges drop; (2) θ from a driver-decoded seed window
-    (full intersection scores over the best rare ranges); (3) a rare range
+    missing all rare ranges drop; (2) θ from a probe window (full
+    intersection scores over the best rare ranges); (3) a rare range
     whose ub_rare + Σ_{s≠rare} localized maxUB_s < θ drops WITH its other-
-    term blocks. ``metrics_out`` (optional dict) receives block-skip
-    accounting (costs two tiny count jobs — tests/bench only).
+    term blocks.
+
+    Decode-time θ refinement (``refine_theta``, queries above
+    ``refine_min_postings``): the top-UB ``probe_frac`` of blocks (OR) /
+    rare ranges (AND) are decoded FIRST; the k-th best per-doc partial
+    sum (OR — partials are lower bounds) or exact intersection score
+    (AND — probe docs are fully covered, certified by block count) is a
+    valid θ, tighter than the driver-seed θ, so late blocks prune
+    against it. Probe contributions are cached and reused in the final
+    aggregation — nothing decodes twice. ``metrics_out`` (optional dict)
+    receives block-skip accounting (costs count jobs — tests/bench only).
     """
     # ad-hoc (path) calls: no caching, no driver-side dictionary collect —
     # a filtered lookup job beats materializing the vocabulary once
@@ -564,6 +656,7 @@ def query_topk_index(spark: SparkSession,
         metrics_out["blocks_total"] = blocks.count()
 
     # pruning pays off only when there is real volume to skip
+    pre_agg: DataFrame | None = None  # cached probe contributions (refine)
     if (prune and mode == "and" and len(present) > 1
             and total_postings > prune_min_postings):
         rarest = min(present, key=lambda t: info[t]["df"])
@@ -576,9 +669,12 @@ def query_topk_index(spark: SparkSession,
             rng_pdf = (rare_blocks
                        .select("doc_id_first", "doc_id_last", "ub")
                        .toPandas())
+            refine = (refine_theta
+                      and total_postings >= refine_min_postings)
             kept = _and_range_prune(spark, blocks, rarest, rng_pdf, present,
                                     idf_by_term, k, k1, b, avgdl,
-                                    exclude=exclude_set())
+                                    exclude=exclude_set(),
+                                    probe_frac=probe_frac if refine else 0.0)
             if kept is not None:
                 rare_blocks, ranges = kept
             else:
@@ -611,27 +707,39 @@ def query_topk_index(spark: SparkSession,
         seed_scores = seed_sum.to_numpy()
         if seed_scores.size >= k:
             theta = float(np.partition(seed_scores, -k)[-k])
-            if len(present) > 1:
-                blocks = _theta_filter_localized(blocks, present, per_term,
-                                                 theta, range_docs)
-            else:
-                blocks = blocks.filter(
-                    F.col("ub") >= F.lit(theta) * _EPS - 1e-300)
+            all_blocks = blocks
+
+            def theta_filter(blks: DataFrame, th: float) -> DataFrame:
+                if len(present) > 1:
+                    return _theta_filter_localized(
+                        blks, present, per_term, th, range_docs,
+                        bound_blocks=all_blocks)
+                return blks.filter(F.col("ub") >= F.lit(th) * _EPS - 1e-300)
+
+            # cheap seed θ filter first; refinement then probes only the
+            # SURVIVORS' top-UB slice (probing pre-filter blocks decodes
+            # work the seed θ would have skipped for free)
+            blocks = theta_filter(blocks, theta)
+            if refine_theta and total_postings >= refine_min_postings:
+                new_theta, rest, pre_agg = _refine_theta_or(
+                    blocks, theta, k, probe_frac, idf_by_term, k1, b,
+                    avgdl, exclude_ids, metrics_out)
+                if pre_agg is not None and new_theta > theta:
+                    blocks = theta_filter(rest, new_theta)
+                elif pre_agg is not None:
+                    blocks = rest  # probe decoded; rest already filtered
     if metrics_out is not None:
-        metrics_out["blocks_scored"] = blocks.count()
+        metrics_out["blocks_scored"] = (blocks.count()
+                                        + metrics_out.get("blocks_probe", 0))
         tot = metrics_out["blocks_total"]
         metrics_out["block_skip_ratio"] = round(
             1.0 - metrics_out["blocks_scored"] / tot, 4) if tot else 0.0
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _decode_block_rows(pdf, idf_by_term, k1, b, avgdl)
-
-    contrib = blocks.select("term", "doc_id_first", "doc_count", "deltas",
-                            "tfs", "dls").mapInPandas(decode, SCORE_SCHEMA)
-    agg = contrib.groupBy("doc_id").agg(F.sum("score").alias("score"),
-                                        F.count("*").alias("nt"))
+    agg = _decode_agg(blocks, idf_by_term, k1, b, avgdl)
+    if pre_agg is not None:
+        agg = (agg.unionByName(pre_agg)
+               .groupBy("doc_id").agg(F.sum("score").alias("score"),
+                                      F.sum("nt").alias("nt")))
     if mode == "and":
         agg = agg.filter(F.col("nt") == len(present))
     if exclude_ids is not None:

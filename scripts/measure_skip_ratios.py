@@ -46,23 +46,30 @@ def main() -> None:
             terms = q.split()
             if mode == "and" and len(set(terms)) < 2:
                 continue
-            m: dict = {}
-            t0 = time.time()
-            # range width sized to the corpus (~150 ranges); the 1<<20
-            # default is sized for 10^12-doc tables
-            rows = query_topk_index(spark, h, q, k, mode=mode,
-                                    range_docs=max(2048, n // 150),
-                                    metrics_out=m).collect()
             full = query_topk_index(spark, h, q, k, mode=mode,
                                     prune=False).collect()
-            assert [(r.doc_id, round(r.score, 9)) for r in rows] == \
-                   [(r.doc_id, round(r.score, 9)) for r in full], q
-            sec = round(time.time() - t0, 3)
-            if "blocks_total" in m and m["blocks_total"]:
-                out[f"{mode}:{q}"] = {
-                    "blocks_total": m["blocks_total"],
-                    "blocks_scored": m["blocks_scored"],
-                    "skip": m["block_skip_ratio"], "sec": sec}
+            rec: dict = {}
+            for label, refine in (("seed", False), ("refined", True)):
+                m: dict = {}
+                t0 = time.time()
+                # range width sized to the corpus (~150 ranges); the
+                # 1<<20 default is sized for 10^12-doc tables
+                rows = query_topk_index(spark, h, q, k, mode=mode,
+                                        range_docs=max(2048, n // 150),
+                                        refine_theta=refine,
+                                        refine_min_postings=0,
+                                        metrics_out=m).collect()
+                assert [(r.doc_id, round(r.score, 9)) for r in rows] == \
+                       [(r.doc_id, round(r.score, 9)) for r in full], \
+                       (q, mode, label)
+                sec = round(time.time() - t0, 3)
+                if "blocks_total" in m and m["blocks_total"]:
+                    rec[label] = {
+                        "blocks_total": m["blocks_total"],
+                        "blocks_scored": m["blocks_scored"],
+                        "skip": m["block_skip_ratio"], "sec": sec}
+            if rec:
+                out[f"{mode}:{q}"] = rec
     print("SKIPS " + json.dumps({"n_docs": n, "queries": out}))
     spark.stop()
 

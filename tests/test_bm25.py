@@ -120,6 +120,43 @@ def test_tie_break_doc_id_asc(oracle):
             assert d[i] < d[i + 1]
 
 
+@pytest.mark.parametrize("q,k", QUERY_SET)
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_theta_refinement_rank_identity(spark, index_dir, oracle, q, k,
+                                        mode):
+    """Decode-time θ refinement (distributed probe + cached reuse) must
+    stay rank-identical across the whole query set, at aggressive and
+    conservative probe fractions."""
+    terms = tokenize_query(q)
+    if mode == "and" and len(terms) < 2:
+        pytest.skip("AND needs 2+ terms")
+    want = oracle.topk(terms, k, mode=mode)
+    for frac in (0.05, 0.3, 0.9):
+        got = query_topk_index(spark, index_dir, q, k, mode=mode,
+                               prune=True, prune_min_postings=0,
+                               small_query_postings=0,
+                               refine_theta=True, probe_frac=frac,
+                               refine_min_postings=0,
+                               range_docs=64).toPandas()
+        assert_rank_identical(got, want, f"refine {mode} {q!r} frac={frac}")
+
+
+def test_theta_refinement_with_exclusions(spark, index_dir, oracle):
+    """Refined θ must also be seeded from non-excluded docs only."""
+    q, mode = "import def", "or"
+    want_all = oracle.topk(tokenize_query(q), 50, mode=mode)
+    excl = [int(x) for x in want_all["doc_id"].iloc[:3]]
+    want = want_all[~want_all["doc_id"].isin(excl)].head(10)
+    excl_df = spark.createDataFrame([(i,) for i in excl], "doc_id long")
+    got = query_topk_index(spark, index_dir, q, 10, mode=mode, prune=True,
+                           prune_min_postings=0, small_query_postings=0,
+                           refine_theta=True, probe_frac=0.3,
+                           refine_min_postings=0,
+                           exclude_ids=excl_df).toPandas()
+    assert_rank_identical(got, want.reset_index(drop=True),
+                          "refine+exclude")
+
+
 @pytest.mark.parametrize("q,mode", [("import", "or"),
                                     ("import def", "or"),
                                     ("def class return", "and"),
