@@ -88,6 +88,13 @@ class IndexConfig:
     # denser packs → less binary-cell serde through shuffle + parquet.
     # Bounded: ~flush_docs × avgdl × 24 B peak per task.
     pack_flush_docs: int = 32_768
+    # parquet codec for the INTERMEDIATE packed table (read once by the
+    # merge, lives on fast scratch). Interleaved A/B at local[16]/300k
+    # docs on shm: snappy 24.0k docs/s (79MB packed) > uncompressed 22.9k
+    # (108MB) > lz4 21.5k — even on memory-backed storage the smaller
+    # snappy file wins (page-cache + memory-bandwidth bound), so None
+    # (session default = snappy) is the measured best.
+    pack_compression: str | None = None
 
 
 PACKED_SCHEMA = StructType([
@@ -97,9 +104,14 @@ PACKED_SCHEMA = StructType([
     StructField("sum_tf", LongType()),
     StructField("max_tf", IntegerType()),
     StructField("doc_id_first", LongType()),
-    StructField("ids", BinaryType()),   # varint gaps (doc_count-1 values)
-    StructField("tfs", BinaryType()),
-    StructField("dls", BinaryType()),
+    # ONE binary cell per pack: varint gap stream (doc_count-1 values) ++
+    # tf stream ++ dl stream; the two split offsets ride as fixed-width
+    # ints. One cell instead of three: rare identifiers make millions of
+    # single-posting packs, and per-cell Arrow/Parquet overhead (offsets,
+    # page metadata, shuffle framing) was 3× what it needed to be.
+    StructField("ids_len", IntegerType()),
+    StructField("tfs_len", IntegerType()),
+    StructField("payload", BinaryType()),
 ])
 
 POSTINGS_SCHEMA = StructType([
@@ -212,6 +224,9 @@ def pack_batch(pdf: pd.DataFrame, part_id: int) -> pd.DataFrame | None:
     gaps[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
     terms = vocab.take(pa.array(ucode[starts], type=pa.int64())) \
                  .to_pandas().to_numpy()
+    ids_b = _slice_stream(gaps, starts, ends, keep=~new_term)
+    tfs_b = _slice_stream(tf.astype(np.uint64), starts, ends)
+    dls_b = _slice_stream(dl.astype(np.uint64), starts, ends)
     return pd.DataFrame({
         "term": terms,
         "part_id": np.full(starts.size, part_id, dtype=np.int32),
@@ -219,9 +234,11 @@ def pack_batch(pdf: pd.DataFrame, part_id: int) -> pd.DataFrame | None:
         "sum_tf": np.add.reduceat(tf, starts).astype(np.int64),
         "max_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
         "doc_id_first": doc_ids[starts],
-        "ids": _slice_stream(gaps, starts, ends, keep=~new_term),
-        "tfs": _slice_stream(tf.astype(np.uint64), starts, ends),
-        "dls": _slice_stream(dl.astype(np.uint64), starts, ends),
+        "ids_len": np.fromiter((len(x) for x in ids_b), np.int32,
+                               len(ids_b)),
+        "tfs_len": np.fromiter((len(x) for x in tfs_b), np.int32,
+                               len(tfs_b)),
+        "payload": [b"".join(t) for t in zip(ids_b, tfs_b, dls_b)],
     })
 
 
@@ -319,6 +336,19 @@ def _encode_blocks(pdf: pd.DataFrame, k1: float, b: float, avgdl: float,
         "dls": _slice_stream(dl.astype(np.uint64), blk_starts, blk_ends),
         "part_id": np.full(blk_starts.size, part_id, dtype=np.int32),
     })
+
+
+def _split_payload(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack rows with one ``payload`` cell → the ids/tfs/dls views the
+    decoder consumes. memoryview slices — no copies until the decoder's
+    single join."""
+    mv = [memoryview(p) for p in pdf["payload"]]
+    il = pdf["ids_len"].to_numpy()
+    tl = pdf["tfs_len"].to_numpy()
+    return pdf.assign(
+        ids=[m[:int(a)] for m, a in zip(mv, il)],
+        tfs=[m[int(a):int(a) + int(b)] for m, a, b in zip(mv, il, tl)],
+        dls=[m[int(a) + int(b):] for m, a, b in zip(mv, il, tl)])
 
 
 def _decode_packs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -428,8 +458,9 @@ def merge_packs(packs: DataFrame, hot_salts: dict[str, int], avgdl: float,
         spark.conf.get("spark.sql.shuffle.partitions"))
     arranged = (salted.repartition(num_parts, "term", "salt")
                 .sortWithinPartitions("term", "salt", "doc_id_first"))
-    return _carry_merge(arranged, _decode_packs, cfg.k1, cfg.b, avgdl,
-                        cfg.block_size)
+    return _carry_merge(arranged,
+                        lambda body: _decode_packs(_split_payload(body)),
+                        cfg.k1, cfg.b, avgdl, cfg.block_size)
 
 
 ROWS_SCHEMA = ("term string, salt int, doc_id long, tf long, dl long")
@@ -591,7 +622,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
         observed = src.observe(src_obs, F.count(F.lit(1)).alias("n_docs"))
         pk = build_packs(observed, cfg, content_col="content")
         pk = pk.observe(pk_obs, F.sum("sum_tf").alias("total_tokens"))
-        tables.write_table(pk, out)
+        tables.write_table(pk, out, compression=cfg.pack_compression)
 
     packed_was_committed = tables.is_committed(index_dir / "packed")
     pk_path = stage("packed", s1)

@@ -27,7 +27,7 @@ def is_committed(path: str | Path) -> bool:
 
 
 def write_table(df: DataFrame, path: str | Path, *, sort_cols: list[str] | None = None,
-                meta: dict | None = None) -> None:
+                meta: dict | None = None, compression: str | None = None) -> None:
     """Atomically materialize ``df`` as a parquet table at ``path``.
 
     Writes to ``<path>.__tmp__`` then renames — a crash mid-write never
@@ -35,6 +35,9 @@ def write_table(df: DataFrame, path: str | Path, *, sort_cols: list[str] | None 
     stage runner resumable (north_rule: resume from checkpoint).
     ``sort_cols`` sorts within partitions so parquet row-group min/max stats
     make downstream predicate pushdown (e.g. ``term = 'x'``) effective.
+    ``compression`` overrides the session parquet codec — intermediate
+    tables that live on fast storage (shm/NVMe) and are read once trade
+    ratio for speed (lz4/uncompressed); durable tables keep the default.
     """
     path = Path(path)
     tmp = Path(str(path) + ".__tmp__")
@@ -42,7 +45,10 @@ def write_table(df: DataFrame, path: str | Path, *, sort_cols: list[str] | None 
         shutil.rmtree(tmp)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
-    df.write.mode("overwrite").parquet(str(tmp))
+    w = df.write.mode("overwrite")
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.parquet(str(tmp))
     if path.exists():
         shutil.rmtree(path)
     os.rename(tmp, path)
