@@ -1306,6 +1306,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", add_slash(alt).alias("url")))
     q["add_slashes"] = add_slashes
 
+    def dedup_components(spark, sf):
+        # near-dup pairs → transitive components → keep decisions
+        # (iterative min-label propagation vs a recursive-CTE oracle):
+        # stars of 3 consecutive ids, bridged into 6-doc chains at
+        # multiples of 12 — multi-hop closure, not just direct pairs
+        from harvester_spark.operators.dedup import dedup_keep_decisions
+        d = F.col("doc_id")
+        docs = _docs(spark, sf).filter(d < 120).select("doc_id")
+        stars = (docs.filter(d % 3 != 0)
+                 .select((d - d % 3).alias("doc_a"), d.alias("doc_b")))
+        bridges = (docs.filter(d % 12 == 0)
+                   .select(d.alias("doc_a"), (d + 3).alias("doc_b")))
+        verdicts = dedup_keep_decisions(docs,
+                                        stars.unionByName(bridges))
+        return verdicts.select("doc_id", "component",
+                               F.col("keep").cast("int").alias("keep"))
+    q["dedup_components"] = dedup_components
+
     return q
 
 
@@ -1377,6 +1395,27 @@ WITH raw AS (
 SELECT doc_id,
        CASE WHEN u LIKE '%/' THEN u ELSE u || '/' END AS url
 FROM raw
+"""
+
+    o["dedup_components"] = """
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+edges AS (
+  SELECT doc_id - doc_id % 3 AS a, doc_id AS b FROM docs
+  WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 3 AS b FROM docs WHERE doc_id % 12 = 0),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, comp) AS (
+  SELECT a AS node, a AS comp FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node),
+comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS keep
+FROM docs d LEFT JOIN comps c ON c.node = d.doc_id
 """
 
     return o

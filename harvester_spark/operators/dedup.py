@@ -359,6 +359,64 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
     return cand
 
 
+def connected_components(pairs: DataFrame, *, max_iter: int = 25,
+                         a_col: str = "doc_a", b_col: str = "doc_b"
+                         ) -> DataFrame:
+    """(doc_id, component) for every doc appearing in ``pairs``;
+    component = MIN doc_id reachable through the pair graph — the
+    transitive closure that turns near-dup PAIRS into dedup DECISIONS
+    (the reason simhash_near_pairs may emit star edges: components are
+    what callers actually consume).
+
+    Min-label propagation: each round, every node adopts the smallest
+    component id among itself and its neighbours — one join + one
+    aggregation per round, converging in O(graph diameter) rounds.
+    After LSH/SimHash blocking, components are star-/cluster-shaped
+    (diameter ≤ ~4), so this is 3-5 rounds at any corpus size; the loop
+    stops as soon as a round changes nothing. Lineage is cut per round
+    (localCheckpoint) so the plan doesn't grow with iterations."""
+    edges = pairs.select(F.col(a_col).cast("long").alias("a"),
+                         F.col(b_col).cast("long").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.select(F.col("node").alias("b"),
+                                      F.col("comp").alias("nbr_comp")), "b")
+               .select(F.col("a").alias("node"), F.col("nbr_comp")
+                       .alias("comp")))
+        new_labels = (labels.unionByName(nbr)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"),
+                                   "node")
+                   .filter(F.col("comp") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "comp"
+                         ).withColumnRenamed("comp", "component")
+
+
+def dedup_keep_decisions(docs: DataFrame, pairs: DataFrame, *,
+                         id_col: str = "doc_id",
+                         max_iter: int = 25) -> DataFrame:
+    """Per-doc dedup verdicts from a near-dup pair list: (doc_id,
+    component, keep). keep = the doc is its component's canonical
+    representative (min id — the reference's first-wins rule,
+    dedupe_sourceresource.py:10-16) or it appears in no pair at all."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("component"), F.col("doc_id"))
+                    .alias("component"))
+            .withColumn("keep", F.col("component") == F.col("doc_id")))
+
+
 def ngram_jaccard(docs_a: DataFrame, docs_b: DataFrame, *,
                   content_col: str = "content", id_col: str = "doc_id",
                   shingle_n: int = 3) -> DataFrame:

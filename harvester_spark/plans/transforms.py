@@ -117,6 +117,9 @@ def _register_builtins() -> None:
     _col_transform("ark_extract", lambda c: text.ark_extract(c))
     _col_transform("dejson", lambda c: nested.dejson_str(c))
     _col_transform("dejson_array", lambda c: nested.dejson_array(c))
+    _col_transform(
+        "dejson_deep",
+        lambda c, depth="6": nested.dejson_deep_str(c, depth=int(depth)))
     _col_transform("remove_blanks", lambda c: nested.remove_blanks(c))
     _col_transform("map_date", lambda c: nested.map_date_expr(c))
     _col_transform(

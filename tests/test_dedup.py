@@ -198,6 +198,61 @@ def test_lsh_metrics_do_not_recompute_banding(spark):
     assert "InMemoryRelation" in sp._jdf.queryExecution().toString()
 
 
+def _uf_components(edges):
+    """Union-find oracle: node -> min reachable id."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graph(spark):
+    import random
+    from harvester_spark.operators.dedup import connected_components
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_deep_chain(spark):
+    """A 20-hop path needs ~log-ish rounds of min-label propagation —
+    the convergence loop (not a fixed round count) must carry the min
+    label end to end."""
+    from harvester_spark.operators.dedup import connected_components
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(21)}
+
+
+def test_dedup_keep_decisions(spark):
+    from harvester_spark.operators.dedup import dedup_keep_decisions
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)],
+                                  "doc_a long, doc_b long")
+    rows = {r["doc_id"]: (r["component"], r["keep"])
+            for r in dedup_keep_decisions(docs, pairs).collect()}
+    assert rows == {0: (0, True), 1: (1, True), 2: (2, True),
+                    3: (1, False), 4: (4, True), 5: (1, False),
+                    6: (6, True), 7: (6, False)}
+
+
 def test_simhash_chunk_plan_scales():
     """Blocking must be corpus-size-aware: bigger corpora get more blocking
     bits (the fixed 16-bit scheme collapsed at >1e8 docs)."""
