@@ -313,3 +313,173 @@ def embedding_near_dup_pairs(emb: DataFrame, *, threshold: float = 0.95,
     if with_metrics:
         return pairs, metrics
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted lists — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 12,
+               seed: int = 42) -> np.ndarray:
+    """Plain (un-normalized) Lloyd k-means for PQ sub-codebooks —
+    residual subvectors are Euclidean objects, unlike the coarse
+    quantizer's cosine space. Empty clusters re-seed from the point
+    farthest from its centroid."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    C = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                C[c] = sample[int(d2.min(axis=1).argmax())]
+    return C
+
+
+def build_ivfpq_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
+                      m_subvectors: int = 8, n_codes: int = 256,
+                      train_sample: int = 20_000, seed: int = 42,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """IVF-PQ layout: coarse-quantizer lists (partition-pruned like
+    :func:`build_ivf_index`) whose entries store an m-byte PRODUCT
+    QUANTIZATION code of the residual instead of the raw vector — the
+    classic memory-scale ANN shape (Jégou/Douze/Schmid PQ): at 10^12
+    vectors × 768 floats the raw corpus is ~3 PB, the PQ codes ~8-64 TB.
+
+    Artifacts under ``out_dir``: ``pq/`` (vec_id, codes binary[m], norm;
+    partitioned by list_id), ``vectors/`` (raw, same partitioning — the
+    exact-rerank side), ``ivfpq_meta.json`` (centroids + codebooks).
+    Encoding is one matmul-chain per Arrow batch; no per-row Python."""
+    import json
+    from pathlib import Path
+
+    n_total = emb.count()
+    frac = min(1.0, (2.0 * train_sample) / max(n_total, 1))
+    rows = (emb.select(vec_col).sample(fraction=frac, seed=seed)
+            .limit(train_sample).collect())
+    if not rows:
+        rows = emb.select(vec_col).limit(train_sample).collect()
+    sample = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
+                        for r in rows])
+    dim = sample.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim={dim} not divisible by m={m_subvectors}")
+    dsub = dim // m_subvectors
+    C = _kmeans(sample, n_centroids, seed=seed)          # unit-norm rows
+
+    # residuals of the (normalized) sample against their coarse centroid
+    Xn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                             1e-12)
+    assign = (Xn @ C.T).argmax(axis=1)
+    resid = Xn - C[assign]
+    books = np.stack([
+        _kmeans_l2(resid[:, j * dsub:(j + 1) * dsub],
+                   n_codes, seed=seed + j)
+        for j in range(m_subvectors)])                   # (m, ≤256, dsub)
+    n_codes_eff = books.shape[1]
+
+    schema = ("vec_id long, list_id long, codes binary, norm double")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            Mn = M / np.maximum(norms[:, None], 1e-12)
+            lists = (Mn @ C.T).argmax(axis=1)
+            R = Mn - C[lists]
+            codes = np.empty((len(M), m_subvectors), dtype=np.uint8)
+            for j in range(m_subvectors):
+                sub = R[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "list_id": lists.astype("int64"),
+                "codes": [c.tobytes() for c in codes],
+                "norm": norms})
+
+    out = Path(out_dir)
+    enc = emb.select(id_col, vec_col).mapInPandas(encode, schema)
+    (enc.write.mode("overwrite").partitionBy("list_id")
+     .parquet(str(out / "pq")))
+    # raw vectors, same partitioning: the exact-rerank side reads ONLY the
+    # candidate rows of the probed lists (partition-pruned + id-pruned)
+    lists = enc.select("vec_id", "list_id")
+    (emb.select(F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"))
+     .join(lists, "vec_id")
+     .write.mode("overwrite").partitionBy("list_id")
+     .parquet(str(out / "vectors")))
+    (out / "ivfpq_meta.json").write_text(json.dumps(
+        {"n_centroids": int(C.shape[0]), "dim": dim,
+         "m": m_subvectors, "dsub": dsub, "n_codes": int(n_codes_eff),
+         "seed": seed, "centroids": C.tolist(),
+         "codebooks": books.tolist()}))
+
+
+def query_ivfpq_index(spark, index_dir, query_vec: list[float], k: int, *,
+                      nprobe: int = 4, rerank: int = 0) -> DataFrame:
+    """Top-k cosine via asymmetric-distance (ADC) scoring over the
+    ``nprobe`` nearest PQ lists: score ≈ <q̂, c_list> + Σ_j LUT_j[code_j],
+    with LUT_j[b] = <q̂_sub_j, codebook_j[b]> precomputed driver-side
+    (m×256 floats). The scan reads m-byte codes, not d-float vectors —
+    the 100 TB memory story; scoring is one fancy-index + row-sum per
+    Arrow batch.
+
+    ``rerank`` > 0: the top rerank·k ADC candidates are re-scored
+    EXACTLY against the raw vectors (partition-pruned to the probed
+    lists, semi-joined on candidate ids) — recovers near-exact recall at
+    the cost of reading rerank·k raw rows. Returns (vec_id, cosine)
+    (approximate when rerank=0)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(index_dir) / "ivfpq_meta.json").read_text())
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, dsub = meta["m"], meta["dsub"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(C @ qn))[:nprobe]
+    # LUT: <q̂_j, codebook_j[b]> for every subvector j and code b
+    lut = np.stack([books[j] @ qn[j * dsub:(j + 1) * dsub]
+                    for j in range(m)])                   # (m, n_codes)
+    qdotc = {int(p): float(C[p] @ qn) for p in probes}
+
+    pq = (spark.read.parquet(str(Path(index_dir) / "pq"))
+          .filter(F.col("list_id").isin([int(p) for p in probes])))
+    schema = "vec_id long, cosine double"
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(b"".join(pdf["codes"]),
+                                  dtype=np.uint8).reshape(-1, m)
+            base = pdf["list_id"].map(qdotc).to_numpy(np.float64)
+            ip = base + lut[np.arange(m)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
+                                "cosine": ip})
+
+    scored = (pq.select("vec_id", "codes", "list_id")
+              .mapInPandas(adc, schema))
+    if rerank <= 0:
+        return (scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+    cand = (scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(max(k, rerank * k)).select("vec_id"))
+    vecs = (spark.read.parquet(str(Path(index_dir) / "vectors"))
+            .filter(F.col("list_id").isin([int(p) for p in probes]))
+            .join(F.broadcast(cand), "vec_id", "left_semi"))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = float(np.linalg.norm(q))
+    cos = _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding"))
+                                            * F.lit(qnorm))
+    return (vecs.select("vec_id", cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
