@@ -56,3 +56,29 @@ def assign_doc_ids(docs: DataFrame, key_cols: list[str] | None = None, *,
     if with_sha:
         out = out.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
     return out
+
+
+def verify_content_sha256(results: DataFrame, docs: DataFrame, *,
+                          id_col: str = "doc_id",
+                          content_col: str = "content",
+                          sha_col: str = "content_sha256") -> dict:
+    """Per-row content-integrity check for query results against the
+    source table (the north-rule invariant: every returned row's content
+    sha256 must equal the stored hash). One broadcast-able semi-join +
+    aggregation; returns {"n_rows", "n_matched", "missing", "ok"} —
+    ``missing`` counts result ids absent from the source entirely."""
+    src = docs.select(F.col(id_col).alias("__vid"),
+                      F.sha2(F.col(content_col), 256).alias("__recomputed"),
+                      F.col(sha_col).alias("__stored"))
+    joined = (results.select(F.col(id_col).alias("__vid"))
+              .join(src, "__vid", "left"))
+    row = joined.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("__recomputed") == F.col("__stored"), 1)
+              .otherwise(0)).alias("n_matched"),
+        F.sum(F.when(F.col("__stored").isNull(), 1).otherwise(0))
+        .alias("missing")).collect()[0]
+    n, m, miss = int(row["n_rows"]), int(row["n_matched"] or 0), \
+        int(row["missing"] or 0)
+    return {"n_rows": n, "n_matched": m, "missing": miss,
+            "ok": n == m and miss == 0}

@@ -27,6 +27,29 @@ def test_content_sha256(corpus_df):
         assert hashlib.sha256(c.encode()).hexdigest() == h
 
 
+def test_verify_content_sha256_on_query_results(spark, index_dir,
+                                                corpus_df):
+    """North-rule invariant: every query-result row's content sha256
+    verifies against the source table; tampering is detected."""
+    from harvester_spark.operators.bm25 import query_topk_index
+    from harvester_spark.operators.docids import verify_content_sha256
+    res = query_topk_index(spark, index_dir, "import def", 10)
+    rep = verify_content_sha256(res, corpus_df)
+    assert rep == {"n_rows": 10, "n_matched": 10, "missing": 0, "ok": True}
+    # tamper one stored hash -> flagged
+    bad = corpus_df.withColumn(
+        "content_sha256",
+        F.when(F.col("doc_id") == res.collect()[0]["doc_id"],
+               F.lit("deadbeef")).otherwise(F.col("content_sha256")))
+    rep2 = verify_content_sha256(res, bad)
+    assert rep2["n_matched"] == 9 and not rep2["ok"]
+    # result id absent from source -> missing counted
+    ghost = res.unionByName(
+        spark.createDataFrame([(10**12, 0.0)], "doc_id long, score double"))
+    rep3 = verify_content_sha256(ghost, corpus_df)
+    assert rep3["missing"] == 1 and not rep3["ok"]
+
+
 def test_stats_match_oracle(spark, index_dir, corpus_df):
     local = _corpus_with_ids(corpus_df)
     oracle = OracleBM25(local, content_col="content")
