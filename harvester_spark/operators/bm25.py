@@ -68,9 +68,6 @@ def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
 
     src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(content_col).alias("content"))
-    # global stats — over ALL docs, including ones matching no query term
-    stats = src.agg(F.count("*").alias("N"),
-                    F.avg(doc_len_expr("content")).alias("avgdl"))
 
     # tokenize ONCE per row (lambda-bound) and filter to query terms
     # BEFORE exploding: the generator emits only matching tokens instead
@@ -82,8 +79,17 @@ def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
             F.size(toks).alias("dl"),
             F.filter(toks, lambda t: t.isin(terms)).alias("matched"))
 
-    tok = (src.select("doc_id", tokens_bundle("content", match))
-           .filter(F.size("matched") > 0)
+    # ONE tokenize pass feeds both consumers: the global stats (which must
+    # see ALL docs, matches or not) and the match explode. The cached
+    # intermediate is (doc_id, dl, matched) — bytes per doc, not the
+    # corpus — so this persists fine at any scale, and halves the
+    # dominant cost (content tokenization).
+    from pyspark import StorageLevel
+    tok0 = (src.select("doc_id", tokens_bundle("content", match))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = tok0.agg(F.count("*").alias("N"),
+                     F.avg("dl").alias("avgdl"))
+    tok = (tok0.filter(F.size("matched") > 0)
            .select("doc_id", "dl", F.explode("matched").alias("term")))
     tf = tok.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
