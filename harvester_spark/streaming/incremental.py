@@ -355,3 +355,37 @@ def windowed_event_counts(events_stream: DataFrame, *,
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "sum_value"))
+
+
+def stream_apply_changes(spark: SparkSession, root: str | Path,
+                         changes_stream: DataFrame, *,
+                         checkpoint_dir: str | Path,
+                         content_col: str = "content",
+                         cfg: "IndexConfig | None" = None,
+                         auto_compact_max_deltas: int | None = None,
+                         seq_base: int = 1,
+                         trigger_available_now: bool = True):
+    """Drive the CDC delta-index store from a STREAM of change rows
+    (doc_id, deleted, content): Structured Streaming's end of the
+    reference's long-poll ``_changes`` consumer (solr_updater.py:875-962).
+
+    ``foreachBatch`` + :func:`apply_changes` with seq = seq_base +
+    batch_id gives exactly-once index application on top of the sink's
+    at-least-once replay: a micro-batch re-delivered after a crash hits
+    the ``seq <= last_seq`` idempotency gate and no-ops, which IS the
+    documented exactly-once-by-idempotent-sink pattern (the reference's
+    own contract: an at-least-once feed + idempotent delete-then-add).
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    cfg_ = cfg
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes(spark, root, batch_df, seq_base + int(batch_id),
+                      content_col=content_col, cfg=cfg_,
+                      auto_compact_max_deltas=auto_compact_max_deltas)
+
+    w = (changes_stream.writeStream
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", str(checkpoint_dir)))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -73,6 +73,48 @@ def test_cdc_upsert_delete_and_compact(spark, base_docs, tmp_path):
             np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
 
 
+def test_stream_apply_changes_end_to_end(spark, base_docs, tmp_path):
+    """foreachBatch CDC: a real file-source stream of change batches
+    drives the delta-index store; checkpoint restart replays nothing
+    (exactly-once via the last_seq idempotency gate)."""
+    root = tmp_path / "sroot"
+    inc.init_root(spark, base_docs, root, cfg=CFG)
+    src = tmp_path / "changes_src"
+    ckpt = tmp_path / "ckpt"
+    schema = "doc_id long, deleted boolean, content string"
+    # one parquet file per micro-batch, written through Spark
+    spark.createDataFrame(
+        [(0, True, None), (901, False, "zz_stream_token alpha value")],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(901, False, "zz_stream_token beta value"), (1, True, None)],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = inc.stream_apply_changes(spark, root, stream, checkpoint_dir=ckpt,
+                                 cfg=CFG)
+    q.awaitTermination(120)
+    assert inc.last_seq(root) >= 2
+    res = inc.query_topk_incremental(spark, root, "zz_stream_token",
+                                     10).toPandas()
+    assert set(res["doc_id"]) == {901}
+    deleted = inc.query_topk_incremental(spark, root, "import",
+                                         300).toPandas()
+    assert not ({0, 1} & set(deleted["doc_id"]))
+
+    # restart on the same checkpoint: nothing replays, state unchanged
+    seq_before = inc.last_seq(root)
+    n_deltas = len(list(root.glob("delta_*")))
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q2 = inc.stream_apply_changes(spark, root, stream2,
+                                  checkpoint_dir=ckpt, cfg=CFG)
+    q2.awaitTermination(120)
+    assert inc.last_seq(root) == seq_before
+    assert len(list(root.glob("delta_*"))) == n_deltas
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     """Drive windowed_event_counts through an actual micro-batch stream."""
     import datetime as dt
