@@ -90,7 +90,9 @@ def dejson_deep(col: str | Column, *, depth: int = 6) -> Column:
       reference
     - string that parses as a JSON object → its ``name`` member if present
       (``unpack_if_json``, :156-168)
-    - anything else passes through
+    - anything else passes through — including column values that are NOT
+      valid JSON at all (``try_parse_json``; the reference's ``getjobj``
+      swallows the ValueError and returns the data unchanged)
 
     Divergence (variant cannot express it): a JSON-null ``item``/``name``/
     ``text`` member reads as ABSENT, where the reference's ``dict.get``
@@ -124,10 +126,14 @@ def dejson_deep(col: str | Column, *, depth: int = 6) -> Column:
             F.transform(arr, lambda x: dj(x, d - 1)).cast("variant"))
         return F.coalesce(mapped, pick(c), embedded(c), c)
 
-    # bind the parsed variant once — dj references its argument ~6 times
-    return F.element_at(
-        F.transform(F.array(F.parse_json(_c(col))),
+    # bind the parsed variant once — dj references its argument ~6 times.
+    # Invalid JSON (try_parse_json → NULL) falls back to the raw string
+    # wrapped as a variant scalar, mirroring the reference's pass-through.
+    c = _c(col)
+    flattened = F.element_at(
+        F.transform(F.array(F.try_parse_json(c)),
                     lambda v: dj(v, depth)), 1)
+    return F.coalesce(flattened, c.cast("variant"))
 
 
 def dejson_deep_str(col: str | Column, *, depth: int = 6) -> Column:

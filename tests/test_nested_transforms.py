@@ -272,6 +272,19 @@ def test_dejson_deep_matches_reference_model(spark):
     assert got == want
 
 
+def test_dejson_deep_invalid_json_passes_through(spark):
+    """NOT-valid-JSON column values pass through raw (the reference's
+    getjobj swallows the parse error); NULL stays NULL — and nothing
+    FAILFASTs the job."""
+    from harvester_spark.functions.nested import dejson_deep_str
+    df = spark.createDataFrame(
+        [(None,), ("not json at all {",), ("",), ('{"broken": ',),
+         ('{"name": "ok"}',)], "j string")
+    got = [r["f"] for r in df.select(dejson_deep_str("j").alias("f"))
+           .collect()]
+    assert got == [None, "not json at all {", "", '{"broken": ', "ok"]
+
+
 def test_dejson_deep_property(spark):
     """Randomized nested values (depth ≤4, mixed dict/list/str/int) must
     flatten identically to the reference model. Seeded generator →
