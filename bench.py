@@ -69,6 +69,10 @@ def main() -> None:
     from harvester_spark.operators.bm25 import open_index
     idx = open_index(spark, idx_dir)
     idx.topk_local("query data join", 10)  # warm the serving cache
+    # warm the df-scorer plan shape with a DIFFERENT query (its cached
+    # tokenization intermediate is term-specific — no result reuse)
+    query_topk_dataframe(docs, "warmup shape only", 10,
+                         content_col="text").collect()
 
     def q_wand_common(s):
         return query_topk_index(s, idx, "batch", 10).collect()
@@ -111,6 +115,17 @@ def main() -> None:
     def q_ann(s):
         return query_ann_index(s, ann_dir, qv, 10, n_probe_bits=1).collect()
 
+    # IVF-PQ: ADC over m-byte codes + exact rerank (built once, untimed)
+    from harvester_spark.operators.similarity import (build_ivfpq_index,
+                                                      query_ivfpq_index)
+    pq_dir = tempfile.mkdtemp(prefix="bench_pq_")
+    build_ivfpq_index(emb, pq_dir, n_centroids=16, m_subvectors=8,
+                      train_sample=4000)
+
+    def q_ivfpq(s):
+        return query_ivfpq_index(s, pq_dir, qv, 10, nprobe=2,
+                                 rerank=4).collect()
+
     def q_quality(s):
         return quality_features(docs, content_col="text") \
             .agg(F.avg("quality_score")).collect()
@@ -131,6 +146,7 @@ def main() -> None:
         "simhash_dedup": q_simhash,
         "cosine_topk": q_cosine,
         "ann_index_topk": q_ann,
+        "ivfpq_topk": q_ivfpq,
         "quality_scores": q_quality,
         "pricing_summary": q_pricing,
     }

@@ -289,17 +289,17 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
         raise ValueError(f"chunks={chunks} must exceed max_hamming={k}")
 
     fp = simhash(docs, content_col=content_col, id_col=id_col)
-    # fp feeds the rep-collapse AND the star join; rep feeds the star join,
-    # the blocking tables, and (with metrics) the identical-fp accounting.
-    # MEMORY_AND_DISK: one 16-byte row per doc / per distinct fingerprint —
-    # spills instead of recomputing the tokenize+agg at corpus scale.
+    # rep-collapse in ONE shuffle: window-min over the fingerprint key
+    # annotates every row with its representative — no groupBy + join
+    # round-trip. The annotated table feeds the star pairs, the blocking
+    # tables, and the metrics; MEMORY_AND_DISK persist (16 B/doc — spills
+    # rather than recomputing tokenize+agg at corpus scale).
     from pyspark import StorageLevel
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
-    rep = (fp.groupBy("simhash")
-           .agg(F.min("doc_id").alias("rep"), F.count("*").alias("gsz"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("simhash")
+    fp2 = (fp.withColumn("rep", F.min("doc_id").over(w))
            .persist(StorageLevel.MEMORY_AND_DISK))
-    zero_pairs = (fp.join(rep.select("simhash", "rep"), "simhash")
-                  .filter(F.col("doc_id") != F.col("rep"))
+    zero_pairs = (fp2.filter(F.col("doc_id") != F.col("rep"))
                   .select(F.col("rep").alias("doc_a"),
                           F.col("doc_id").alias("doc_b"),
                           F.lit(0).cast("int").alias("hamming")))
@@ -322,7 +322,8 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
             shift += sizes[c]  # ≤ 64 - k·(64//C) ≤ 56 bits total: no overflow
         key_structs.append(F.struct(F.lit(ci).alias("ci"), acc.alias("cv")))
 
-    reps_fp = rep.select(F.col("rep").alias("doc_id"), "simhash")
+    reps_fp = (fp2.filter(F.col("doc_id") == F.col("rep"))
+               .select("doc_id", "simhash"))
     keyed = (reps_fp.select("doc_id", "simhash",
                             F.explode(F.array(*key_structs)).alias("kc"))
              .select("doc_id", "simhash", F.col("kc.ci").alias("ci"),
@@ -336,11 +337,11 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
         sized = sized.cache()
     metrics = _bucket_drop_metrics(sized, max_bucket, ["ci", "cv"])
     if with_metrics:
-        ident = rep.agg(
-            F.sum(F.when(F.col("gsz") > 1, 1).otherwise(0)).cast("long")
+        dup_rows = fp2.filter(F.col("doc_id") != F.col("rep"))
+        ident = dup_rows.agg(
+            F.count_distinct("simhash").cast("long")
             .alias("identical_fp_groups"),
-            F.sum(F.when(F.col("gsz") > 1, F.col("gsz") - 1).otherwise(0))
-            .cast("long").alias("identical_fp_extra_docs"))
+            F.count("*").cast("long").alias("identical_fp_extra_docs"))
         metrics = metrics.crossJoin(ident)
     cand = (sized
             .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
