@@ -176,3 +176,38 @@ def assert_schema_contract(df: DataFrame,
     if raise_on_violation and not report["ok"]:
         raise SchemaContractError(f"schema contract violated: {report}")
     return report
+
+
+# ---------------------------------------------------------------------------
+# registry resource scan (tastypie-page dumps → one typed dim table)
+# ---------------------------------------------------------------------------
+
+def read_registry_resources(spark: SparkSession, path: str, *,
+                            required: list[str] | None = None,
+                            reconcile: bool = True) -> DataFrame:
+    """Typed registry-dimension reader — the Spark form of the reference's
+    ``ResourceIterator`` (collection_registry_client.py:14-61), which
+    walks tastypie API pages ``{"meta": {total_count, next, …},
+    "objects": [...]}`` one object at a time. Here the page dumps (one
+    JSON doc per page, any number of files) are one multiLine scan:
+    explode ``objects``, flatten each resource to columns, and reconcile
+    the row count against the pages' ``meta.total_count`` (the iterator's
+    stop-condition arithmetic becomes a declarative invariant).
+
+    Returns the resource DataFrame — dimension-sized, intended for
+    ``F.broadcast`` into enrichment joins. Raises SchemaContractError
+    when ``required`` fields are missing from the resource schema."""
+    pages = spark.read.option("multiLine", "true").json(path)
+    res = pages.select(F.explode("objects").alias("o")).select("o.*")
+    if required:
+        assert_schema_contract(res, list(required))
+    if reconcile:
+        # every page repeats the same total_count; rows must match it
+        totals = [r[0] for r in
+                  pages.select("meta.total_count").distinct().collect()]
+        n = res.count()
+        if len(totals) != 1 or int(totals[0]) != n:
+            raise ValueError(
+                f"registry scan reconciliation failed: pages claim "
+                f"total_count={totals}, scan produced {n} rows")
+    return res

@@ -43,6 +43,33 @@ def test_write_jsonl_pages(spark, tmp_path):
     assert {"doc_id", "lang"} <= set(lines[0])
 
 
+def test_read_registry_resources(spark, tmp_path):
+    """Tastypie page dumps → one typed dim table with the iterator's
+    total_count arithmetic enforced as a reconciliation invariant."""
+    import json
+    import pytest
+    from harvester_spark.sources.documents import read_registry_resources
+    pages = tmp_path / "registry"
+    pages.mkdir()
+    objs = [{"id": i, "name": f"Coll {i}",
+             "resource_uri": f"/api/v1/collection/{i}/"} for i in range(5)]
+    (pages / "p0.json").write_text(json.dumps(
+        {"meta": {"total_count": 5, "limit": 3, "offset": 0,
+                  "next": "/api/v1/collection/?offset=3"},
+         "objects": objs[:3]}))
+    (pages / "p1.json").write_text(json.dumps(
+        {"meta": {"total_count": 5, "limit": 3, "offset": 3, "next": None},
+         "objects": objs[3:]}))
+    res = read_registry_resources(spark, str(pages),
+                                  required=["id", "name", "resource_uri"])
+    got = {r["id"]: r["name"] for r in res.collect()}
+    assert got == {i: f"Coll {i}" for i in range(5)}
+    # reconciliation failure: a lost page must raise, not truncate quietly
+    (pages / "p1.json").unlink()
+    with pytest.raises(ValueError, match="reconciliation"):
+        read_registry_resources(spark, str(pages))
+
+
 def test_schema_contract_assert(spark):
     """Header-assert analogue (nuxeo_fetcher.py:218-231): required
     columns/types checked from metadata only, fail-before-fetch."""
