@@ -286,6 +286,17 @@ def map_registry_data_expr(col: str | Column) -> Column:
     from harvester_spark.functions.text import add_slash
     c = _c(col)
 
+    def per_repo(x, fn):
+        # a collection with NO repository list contributes an EMPTY slice:
+        # flatten() returns NULL outright if any element array is NULL,
+        # which would wipe every repository_* field for the whole doc the
+        # moment one collection lacks repositories. (The reference raises
+        # OldCollectionException there; skip semantics are the usable
+        # superset for mixed feeds.) Coalesce AFTER the transform — its
+        # output type (array<string>) is known regardless of input schema.
+        return F.coalesce(F.transform(x["repository"], fn),
+                          F.array().cast("array<string>"))
+
     def coll_data(x):
         return F.concat_ws("::", add_slash(x["id"]), x["name"])
 
@@ -305,14 +316,12 @@ def map_registry_data_expr(col: str | Column) -> Column:
         F.transform(c, lambda x: x["name"]).alias("collection_name"),
         F.transform(c, coll_data).alias("collection_data"),
         F.flatten(F.transform(
-            c, lambda x: F.transform(x["repository"],
-                                     lambda r: add_slash(r["id"]))))
+            c, lambda x: per_repo(x, lambda r: add_slash(r["id"]))))
         .alias("repository_url"),
         F.flatten(F.transform(
-            c, lambda x: F.transform(x["repository"], lambda r: r["name"])))
+            c, lambda x: per_repo(x, lambda r: r["name"])))
         .alias("repository_name"),
-        F.flatten(F.transform(
-            c, lambda x: F.transform(x["repository"], repo_data)))
+        F.flatten(F.transform(c, lambda x: per_repo(x, repo_data)))
         .alias("repository_data"),
         F.when(F.size(with_campus) > 0, F.transform(
             last_campus, lambda k: add_slash(k["id"])))

@@ -82,11 +82,15 @@ def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
     # ONE tokenize pass feeds both consumers: the global stats (which must
     # see ALL docs, matches or not) and the match explode. The cached
     # intermediate is (doc_id, dl, matched) — bytes per doc, not the
-    # corpus — so this persists fine at any scale, and halves the
-    # dominant cost (content tokenization).
+    # corpus — and halves the dominant cost (content tokenization).
+    # MEMORY_ONLY deliberately: the per-query cache entry cannot be
+    # unpersisted from inside this lazy function, so it must be EVICTABLE
+    # — memory-only blocks age out under LRU pressure (worst case:
+    # recompute), where disk-backed blocks would accumulate per query for
+    # the life of a serving session.
     from pyspark import StorageLevel
     tok0 = (src.select("doc_id", tokens_bundle("content", match))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .persist(StorageLevel.MEMORY_ONLY))
     stats = tok0.agg(F.count("*").alias("N"),
                      F.avg("dl").alias("avgdl"))
     tok = (tok0.filter(F.size("matched") > 0)
@@ -506,8 +510,11 @@ def _refine_theta_or(blocks: DataFrame, theta: float, k: int,
         return theta, blocks, None
     probe = blocks.filter(F.col("ub") >= cut[0])
     rest = blocks.filter(F.col("ub") < cut[0])
+    # MEMORY_ONLY: one cache entry per refined query with no unpersist
+    # hook (the handle outlives this function inside the final
+    # aggregation plan) — evictable beats disk-accumulating
     probe_agg = (_decode_agg(probe, idf_by_term, k1, b, avgdl)
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+                 .persist(StorageLevel.MEMORY_ONLY))
     cand = probe_agg
     if exclude_ids is not None:
         cand = cand.join(F.broadcast(exclude_ids.select("doc_id")),

@@ -153,8 +153,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
                   F.count("*").alias("sz")))
     if with_metrics:
         # metrics and pairs both read the bucket table; without this cache
-        # a caller evaluating both re-runs shingling + banding twice
-        sized = sized.cache()
+        # a caller evaluating both re-runs shingling + banding twice.
+        # MEMORY_ONLY throughout this module: per-call cache entries have
+        # no unpersist hook, so they must be evictable under LRU pressure
+        # rather than accumulating on disk across calls
+        from pyspark import StorageLevel
+        sized = sized.persist(StorageLevel.MEMORY_ONLY)
     metrics = _bucket_drop_metrics(sized, max_bucket, ["band", "band_hash"])
     buckets = sized.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
     # pair generation within bucket: explode × explode with a < b
@@ -166,7 +170,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     if jaccard_threshold is not None:
         # the candidate DAG (signatures → bands → buckets) feeds three
         # consumers below; without a cache Spark recomputes it per consumer
-        pairs = pairs.cache()
+        from pyspark import StorageLevel
+        pairs = pairs.persist(StorageLevel.MEMORY_ONLY)
         # compute shingles only for docs that appear in candidate pairs —
         # the candidate set is tiny next to the corpus, so a semi-join
         # before the (expensive) shingle expression saves a full pass
@@ -177,7 +182,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
                               docs[id_col] == cand_ids["cid"], "left_semi")
         sh = docs_cand.select(F.col(id_col).alias("doc_id"),
                               shingles_expr(content_col, shingle_n).alias("shs"))
-        sh = sh.cache()
+        sh = sh.persist(StorageLevel.MEMORY_ONLY)
         pairs = (pairs
                  .join(sh.withColumnRenamed("doc_id", "doc_a")
                        .withColumnRenamed("shs", "shs_a"), "doc_a")
@@ -292,13 +297,14 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
     # rep-collapse in ONE shuffle: window-min over the fingerprint key
     # annotates every row with its representative — no groupBy + join
     # round-trip. The annotated table feeds the star pairs, the blocking
-    # tables, and the metrics; MEMORY_AND_DISK persist (16 B/doc — spills
-    # rather than recomputing tokenize+agg at corpus scale).
+    # tables, and the metrics; MEMORY_ONLY persist (16 B/doc) — per-call
+    # cache entries have no unpersist hook, so they must stay EVICTABLE
+    # (worst case: recompute tokenize+agg) instead of pinning disk.
     from pyspark import StorageLevel
     from pyspark.sql import Window
     w = Window.partitionBy("simhash")
     fp2 = (fp.withColumn("rep", F.min("doc_id").over(w))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+           .persist(StorageLevel.MEMORY_ONLY))
     zero_pairs = (fp2.filter(F.col("doc_id") != F.col("rep"))
                   .select(F.col("rep").alias("doc_a"),
                           F.col("doc_id").alias("doc_b"),
@@ -334,7 +340,7 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
     if with_metrics:
         # metrics + cand both read the bucket table — cache it so the
         # blocking aggregation runs once when a caller evaluates both
-        sized = sized.cache()
+        sized = sized.persist(StorageLevel.MEMORY_ONLY)
     metrics = _bucket_drop_metrics(sized, max_bucket, ["ci", "cv"])
     if with_metrics:
         dup_rows = fp2.filter(F.col("doc_id") != F.col("rep"))
@@ -384,6 +390,7 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
+    changed = -1
     for _ in range(max_iter):
         nbr = (sym.join(labels.select(F.col("node").alias("b"),
                                       F.col("comp").alias("nbr_comp")), "b")
@@ -398,6 +405,13 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently-wrong labels are worse than failing: a component split
+        # across the unfinished frontier would mark several docs keep=True
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the pair graph's "
+            "diameter exceeds max_iter; raise max_iter")
     return labels.select(F.col("node").alias("doc_id"), "comp"
                          ).withColumnRenamed("comp", "component")
 

@@ -69,14 +69,18 @@ def verify_content_sha256(results: DataFrame, docs: DataFrame, *,
     ``missing`` counts result ids absent from the source entirely."""
     src = docs.select(F.col(id_col).alias("__vid"),
                       F.sha2(F.col(content_col), 256).alias("__recomputed"),
-                      F.col(sha_col).alias("__stored"))
+                      F.col(sha_col).alias("__stored"),
+                      F.lit(True).alias("__present"))
     joined = (results.select(F.col(id_col).alias("__vid"))
               .join(src, "__vid", "left"))
+    # absence is detected by the join MARKER, not a NULL stored hash — a
+    # source row whose sha column is NULL is a hash MISMATCH (integrity
+    # problem in the source), not a missing result id
     row = joined.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("__recomputed") == F.col("__stored"), 1)
               .otherwise(0)).alias("n_matched"),
-        F.sum(F.when(F.col("__stored").isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("__present").isNull(), 1).otherwise(0))
         .alias("missing")).collect()[0]
     n, m, miss = int(row["n_rows"]), int(row["n_matched"] or 0), \
         int(row["missing"] or 0)

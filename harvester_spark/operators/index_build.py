@@ -627,6 +627,13 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
     packed_was_committed = tables.is_committed(index_dir / "packed")
     pk_path = stage("packed", s1)
     packs = tables.read_table(spark, pk_path)
+    if "payload" not in packs.columns:
+        # resuming over a packed table committed by the pre-payload layout
+        # would otherwise surface as a KeyError deep inside the merge UDF
+        raise RuntimeError(
+            f"packed stage at {pk_path} predates the single-payload pack "
+            "layout (has ids/tfs/dls columns) — delete that directory to "
+            "rebuild it under the current format")
 
     # S2 — global stats. Fresh build: free (observed during the S1 write).
     # Resumed build (S1 skipped → observations never fire): recompute with

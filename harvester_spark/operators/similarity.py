@@ -192,6 +192,31 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 12,
     return C
 
 
+def _train_sample(emb: DataFrame, vec_col: str, train_sample: int,
+                  seed: int) -> np.ndarray:
+    """Seeded, partition-representative quantizer training sample.
+
+    Collects the whole sampled FRACTION — deliberately no ``limit()``:
+    Spark executes a collect-limit by scanning partitions incrementally
+    from the front, so ``sample().limit(n)`` still fills from a partition
+    PREFIX and re-introduces exactly the per-source skew ``sample()``
+    exists to avoid. The fraction targets ~2× the requested size
+    (bounded); the final cut to ``train_sample`` is a seeded driver-side
+    choice over the representative pool."""
+    n_total = emb.count()
+    frac = min(1.0, (2.0 * train_sample) / max(n_total, 1))
+    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    if not rows:
+        rows = emb.select(vec_col).limit(train_sample).collect()
+    if not rows:
+        raise ValueError("cannot train a quantizer on an empty table")
+    X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if len(X) > train_sample:
+        rng = np.random.default_rng(seed)
+        X = X[rng.choice(len(X), size=train_sample, replace=False)]
+    return X
+
+
 def build_ivf_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
                     train_sample: int = 20_000, seed: int = 42,
                     id_col: str = "vec_id",
@@ -205,19 +230,7 @@ def build_ivf_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
     import json
     from pathlib import Path
 
-    # seeded representative sample: an unordered limit() would take
-    # whichever partitions answer first — on a corpus partitioned by
-    # source (per-repo clusters) the quantizer would train on one skewed
-    # slice. sample() touches every partition with a deterministic seed,
-    # so the quantizer is representative AND reproducible across builds.
-    n_total = emb.count()
-    frac = min(1.0, (2.0 * train_sample) / max(n_total, 1))
-    rows = (emb.select(vec_col).sample(fraction=frac, seed=seed)
-            .limit(train_sample).collect())
-    if not rows:  # tiny/empty corpus: fall back to taking everything
-        rows = emb.select(vec_col).limit(train_sample).collect()
-    sample = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
-                        for r in rows])
+    sample = _train_sample(emb, vec_col, train_sample, seed)
     C = _kmeans(sample, n_centroids, seed=seed)
 
     schema = StructType([StructField("vec_id", LongType()),
@@ -358,14 +371,10 @@ def build_ivfpq_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
     import json
     from pathlib import Path
 
-    n_total = emb.count()
-    frac = min(1.0, (2.0 * train_sample) / max(n_total, 1))
-    rows = (emb.select(vec_col).sample(fraction=frac, seed=seed)
-            .limit(train_sample).collect())
-    if not rows:
-        rows = emb.select(vec_col).limit(train_sample).collect()
-    sample = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
-                        for r in rows])
+    if n_codes > 256:
+        raise ValueError(f"n_codes={n_codes} > 256: codes are stored as "
+                         "uint8; argmin indices would wrap silently")
+    sample = _train_sample(emb, vec_col, train_sample, seed)
     dim = sample.shape[1]
     if dim % m_subvectors:
         raise ValueError(f"dim={dim} not divisible by m={m_subvectors}")
@@ -410,8 +419,12 @@ def build_ivfpq_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
     (enc.write.mode("overwrite").partitionBy("list_id")
      .parquet(str(out / "pq")))
     # raw vectors, same partitioning: the exact-rerank side reads ONLY the
-    # candidate rows of the probed lists (partition-pruned + id-pruned)
-    lists = enc.select("vec_id", "list_id")
+    # candidate rows of the probed lists (partition-pruned + id-pruned).
+    # The list assignment is read BACK from the just-written pq table —
+    # reusing `enc` here would re-run the whole encode mapInPandas (the
+    # dominant build cost) a second time just to recover (vec_id, list_id)
+    lists = (emb.sparkSession.read.parquet(str(out / "pq"))
+             .select("vec_id", "list_id"))
     (emb.select(F.col(id_col).alias("vec_id"),
                 F.col(vec_col).alias("embedding"))
      .join(lists, "vec_id")

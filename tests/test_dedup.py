@@ -241,6 +241,17 @@ def test_connected_components_deep_chain(spark):
     assert got == {i: 0 for i in range(21)}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A diameter beyond max_iter must FAIL, not return silently wrong
+    labels (which would mark several docs keep=True in one component)."""
+    import pytest
+    from harvester_spark.operators.dedup import connected_components
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
 def test_dedup_keep_decisions(spark):
     from harvester_spark.operators.dedup import dedup_keep_decisions
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")

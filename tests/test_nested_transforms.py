@@ -364,6 +364,18 @@ def test_map_registry_data_expr(spark):
           .select(map_registry_data_expr("colls").alias("m"))
           .collect()[0]["m"])
     assert m2["campus_url"] is None and m2["campus_data"] is None
+    # a repo-LESS collection must not nullify the other collections'
+    # repository fields (flatten() returns NULL on any NULL element)
+    rows3 = [([{"id": "http://r/c/1", "name": "C1", "campus": None,
+                "repository": [{"id": "http://r/rp/1", "name": "R1",
+                                "campus": None}]},
+               {"id": "http://r/c/2", "name": "C2", "campus": None,
+                "repository": None}],)]
+    m3 = (spark.createDataFrame(rows3, schema)
+          .select(map_registry_data_expr("colls").alias("m"))
+          .collect()[0]["m"])
+    assert m3["repository_url"] == ["http://r/rp/1/"]
+    assert m3["repository_data"] == ["http://r/rp/1/::R1"]
 
 
 def test_apply_chains_single_pass_for_expression_chains(spark, tmp_path):
