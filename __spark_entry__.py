@@ -1306,6 +1306,25 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", add_slash(alt).alias("url")))
     q["add_slashes"] = add_slashes
 
+    def ivfpq_cosine_topk(spark, sf):
+        # IVF-PQ correctness anchor: full probe + rerank window covering
+        # the corpus degrades to EXACT cosine — same oracle as brute force
+        from harvester_spark.operators.similarity import (build_ivfpq_index,
+                                                          query_ivfpq_index)
+        emb = _emb(spark, sf)
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        d = tempfile.mkdtemp(prefix="hs_ivfpq_")
+        build_ivfpq_index(emb, d, n_centroids=8, m_subvectors=8,
+                          train_sample=4000, seed=42)
+        n = emb.count()
+        scores = query_ivfpq_index(spark, d, qv, 10, nprobe=8,
+                                   rerank=max(1, n // 10 + 1))
+        return (scores.select("vec_id",
+                              _x10k(F.col("cosine")).alias("cos_x10k"))
+                .orderBy(F.desc("cos_x10k"), F.asc("vec_id")).limit(10))
+    q["ivfpq_cosine_topk"] = ivfpq_cosine_topk
+
     def dedup_components(spark, sf):
         # near-dup pairs → transitive components → keep decisions
         # (iterative min-label propagation vs a recursive-CTE oracle):
@@ -1396,6 +1415,9 @@ SELECT doc_id,
        CASE WHEN u LIKE '%/' THEN u ELSE u || '/' END AS url
 FROM raw
 """
+
+    # IVF-PQ at full probe + corpus-covering rerank is exact cosine
+    o["ivfpq_cosine_topk"] = oracle_sql()["cosine_topk"]
 
     o["dedup_components"] = """
 WITH RECURSIVE
