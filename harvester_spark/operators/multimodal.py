@@ -7,15 +7,17 @@ processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 
 Decode support comes in two tiers:
 
-- REAL decoders for the uncompressed formats that need no external
-  libraries: PPM (P6) images via numpy and PCM WAV audio via the stdlib
-  ``wave`` module — full decode → features → resize/re-encode paths,
+- REAL decoders needing no external libraries: PPM (P6) images via
+  numpy, PCM WAV audio via the stdlib ``wave`` module, and baseline
+  JPEG via the in-engine pure-numpy T.81 codec
+  (operators/jpegcodec.py: 4:4:4 + 4:2:0, arbitrary DHT, restart
+  markers) — full decode → features → resize/re-encode paths,
   exercised end-to-end in tests.
-- Compressed codecs (JPEG/PNG/MP4) need libraries this container doesn't
-  ship (Pillow/ffmpeg); for those mimes ``decode_real`` raises
-  NotImplementedError by design and ``decode_stub_features`` provides the
-  deterministic stand-in so the Spark-side plumbing (schema, partitioning,
-  UDF signature, Arrow batch shape) stays real and tested either way.
+- PNG and MP4 still need zlib-inflate-with-filters / ffmpeg; for those
+  mimes ``decode_real`` raises NotImplementedError by design and
+  ``decode_stub_features`` provides the deterministic stand-in so the
+  Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
+  shape) stays real and tested either way.
 """
 
 from __future__ import annotations
@@ -136,26 +138,39 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             rows.append((i, "audio/wav",
                          bytearray(encode_wav(samples.astype(np.int16))),
                          None, None, dur_ms))
-        else:  # opaque compressed payloads (stub path)
-            m = "image/jpeg" if kind == 1 else "video/mp4"
+        elif kind == 1:  # real JPEG (pure-numpy baseline codec)
+            from harvester_spark.operators.jpegcodec import encode_jpeg
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            base = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+            img = np.repeat(np.repeat(base, (h + 3) // 4, axis=0),
+                            (w + 3) // 4, axis=1)[:h, :w]
+            rows.append((i, "image/jpeg",
+                         bytearray(encode_jpeg(img, quality=85,
+                                               subsample=bool(i % 8 == 1))),
+                         w, h, None))
+        else:  # opaque compressed payload (stub path)
             payload = rng.bytes(64 + int(rng.integers(0, 256)))
-            rows.append((i, m, bytearray(payload),
-                         int(rng.integers(16, 4096)) if kind == 1 else None,
-                         int(rng.integers(16, 4096)) if kind == 1 else None,
-                         int(rng.integers(100, 10_000)) if kind == 3 else None))
+            rows.append((i, "video/mp4", bytearray(payload), None, None,
+                         int(rng.integers(100, 10_000))))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode → FEATURE_DIM floats for library-free formats.
+    """Real decode → FEATURE_DIM floats for the in-engine codecs.
 
-    PPM image: [w, h, mean/std per RGB channel, 8-bin brightness histogram]
+    Image (PPM via numpy; baseline JPEG via the pure-numpy T.81 codec,
+    operators/jpegcodec.py): [w, h, mean/std per RGB channel, 8-bin
+    brightness histogram].
     WAV audio: [duration_s, rate/48k, rms, zero-crossing rate, peak,
                 8 log-spaced rFFT band energies, 3 zeros]
-    Compressed codecs (JPEG/PNG/MP4) require Pillow/ffmpeg — unavailable in
-    this container — and raise NotImplementedError by design."""
-    if mime in ("image/x-portable-pixmap", "image/ppm"):
-        img = decode_ppm(payload)
+    PNG/MP4 require zlib-inflate/ffmpeg — still stubs — and raise
+    NotImplementedError by design."""
+    if mime in ("image/x-portable-pixmap", "image/ppm", "image/jpeg"):
+        if mime == "image/jpeg":
+            from harvester_spark.operators.jpegcodec import decode_jpeg
+            img = decode_jpeg(payload)
+        else:
+            img = decode_ppm(payload)
         h, w, _ = img.shape
         f = img.reshape(-1, 3).astype(np.float64)
         hist = np.histogram(f.mean(axis=1), bins=8, range=(0, 256))[0]
@@ -194,7 +209,8 @@ def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
     return ((raw % 10_000) / 10_000.0).astype(np.float32)
 
 
-REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav"}
+REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav",
+                     "image/jpeg"}
 
 
 def extract_features(media: DataFrame, *,
@@ -236,13 +252,16 @@ def resize_images(media: DataFrame, width: int, height: int,
                   *, use_stub: bool | str = "auto") -> DataFrame:
     """Image resize: filters to image/*, maps payload→payload.
 
-    PPM payloads get a REAL decode → nearest-neighbor resize → re-encode
-    (pure numpy); compressed formats keep the stub identity payload with
-    updated metadata (real kernel = Pillow drop-in). Binary-in/binary-out
-    UDF shape either way."""
+    PPM and JPEG payloads get a REAL decode → nearest-neighbor resize →
+    re-encode (pure numpy; JPEG via the in-engine T.81 codec); remaining
+    compressed formats keep the stub identity payload with updated
+    metadata (real kernel = Pillow drop-in). Binary-in/binary-out UDF
+    shape either way."""
     imgs = media.filter(F.col("mime").startswith("image/"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from harvester_spark.operators.jpegcodec import (decode_jpeg,
+                                                         encode_jpeg)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -250,7 +269,11 @@ def resize_images(media: DataFrame, width: int, height: int,
             if use_stub is not True:
                 payloads = []
                 for p, m in zip(out["payload"], out["mime"]):
-                    if m in REAL_DECODE_MIMES:
+                    if m == "image/jpeg":
+                        payloads.append(bytearray(encode_jpeg(
+                            box_resize(decode_jpeg(bytes(p)), width,
+                                       height))))
+                    elif m in REAL_DECODE_MIMES:
                         payloads.append(bytearray(encode_ppm(
                             box_resize(decode_ppm(bytes(p)), width, height))))
                     elif use_stub == "auto":

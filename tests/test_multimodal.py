@@ -87,3 +87,79 @@ def test_real_image_features(spark, media):
         if r.mime == "image/x-portable-pixmap":
             from harvester_spark.operators.multimodal import decode_ppm
             assert decode_ppm(bytes(r.payload)).shape == (10, 10, 3)
+
+
+# ---------------------------------------------------------------------------
+# in-engine baseline JPEG codec (operators/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_444_and_420():
+    import numpy as np
+    from harvester_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    x = np.linspace(0, 4 * np.pi, 70)        # 70x70: not block/MCU aligned
+    img = np.zeros((70, 70, 3), dtype=np.uint8)
+    img[..., 0] = ((np.outer(np.sin(x), np.cos(x)) + 1) * 120).astype(np.uint8)
+    img[..., 1] = ((np.outer(np.cos(x), np.cos(x)) + 1) * 110).astype(np.uint8)
+    img[..., 2] = np.linspace(0, 255, 70, dtype=np.uint8)[None, :]
+    for sub, min_psnr in ((False, 38.0), (True, 30.0)):
+        enc = encode_jpeg(img, quality=90, subsample=sub)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        err = dec.astype(float) - img.astype(float)
+        psnr = 10 * np.log10(255 ** 2 / max((err ** 2).mean(), 1e-9))
+        assert psnr > min_psnr, (sub, psnr)
+
+
+def test_jpeg_roundtrip_property():
+    """Smooth random images at assorted sizes/qualities survive the
+    round trip within JPEG-typical error."""
+    import numpy as np
+    from harvester_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(9)
+    for trial in range(6):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        base = rng.integers(0, 256, size=(3, 3, 3)).astype(np.float64)
+        img = np.clip(np.kron(base, np.ones((16, 16, 1)))[:h, :w]
+                      + rng.normal(0, 4, size=(h, w, 3)), 0,
+                      255).astype(np.uint8)
+        q = int(rng.choice([50, 75, 92]))
+        sub = bool(rng.integers(0, 2))
+        dec = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(float) - img.astype(float)).mean()
+        assert err < 24, (trial, h, w, q, sub, err)
+
+
+def test_jpeg_decode_rejects_non_baseline():
+    import pytest as _pytest
+    from harvester_spark.operators.jpegcodec import decode_jpeg
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+    # progressive SOF2 rejected with a clear message
+    import struct
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_real_features_and_resize(spark, media):
+    """image/jpeg rows now take the REAL path: features carry true
+    dimensions; resize re-encodes an actual 10x10 JPEG."""
+    import numpy as np
+    from harvester_spark.operators.jpegcodec import decode_jpeg
+    out = extract_features(media, use_stub="auto").toPandas()
+    raw = media.toPandas().set_index("media_id")
+    n_jpeg = 0
+    for r in out.itertuples(index=False):
+        if r.mime == "image/jpeg":
+            n_jpeg += 1
+            w, h = raw.loc[r.media_id, "width"], raw.loc[r.media_id, "height"]
+            assert r.features[0] == w and r.features[1] == h
+    assert n_jpeg > 0
+    rz = resize_images(media, 10, 10, use_stub="auto").toPandas()
+    for r in rz.itertuples(index=False):
+        if r.mime == "image/jpeg":
+            assert decode_jpeg(bytes(r.payload)).shape == (10, 10, 3)
