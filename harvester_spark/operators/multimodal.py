@@ -8,13 +8,13 @@ processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 Decode support comes in two tiers:
 
 - REAL decoders needing no external libraries: PPM (P6) images via
-  numpy, PCM WAV audio via the stdlib ``wave`` module, and baseline
-  JPEG via the in-engine pure-numpy T.81 codec
-  (operators/jpegcodec.py: 4:4:4 + 4:2:0, arbitrary DHT, restart
-  markers) — full decode → features → resize/re-encode paths,
-  exercised end-to-end in tests.
-- PNG and MP4 still need zlib-inflate-with-filters / ffmpeg; for those
-  mimes ``decode_real`` raises NotImplementedError by design and
+  numpy, PCM WAV audio via the stdlib ``wave`` module, baseline JPEG
+  via the in-engine pure-numpy T.81 codec (operators/jpegcodec.py:
+  4:4:4 + 4:2:0, arbitrary DHT, restart markers), and PNG via stdlib
+  zlib + all five scanline filters (operators/pngcodec.py) — full
+  decode → features → resize/re-encode paths, exercised end-to-end.
+- Video (MP4) still needs ffmpeg-class demux/codec work; for that mime
+  ``decode_real`` raises NotImplementedError by design and
   ``decode_stub_features`` provides the deterministic stand-in so the
   Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
   shape) stays real and tested either way.
@@ -148,6 +148,13 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
                          bytearray(encode_jpeg(img, quality=85,
                                                subsample=bool(i % 8 == 1))),
                          w, h, None))
+        elif i % 8 == 3:  # real PNG (stdlib zlib codec, lossless)
+            from harvester_spark.operators.pngcodec import encode_png
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image/png",
+                         bytearray(encode_png(img, filter_type=i % 5)),
+                         w, h, None))
         else:  # opaque compressed payload (stub path)
             payload = rng.bytes(64 + int(rng.integers(0, 256)))
             rows.append((i, "video/mp4", bytearray(payload), None, None,
@@ -163,12 +170,16 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
     brightness histogram].
     WAV audio: [duration_s, rate/48k, rms, zero-crossing rate, peak,
                 8 log-spaced rFFT band energies, 3 zeros]
-    PNG/MP4 require zlib-inflate/ffmpeg — still stubs — and raise
-    NotImplementedError by design."""
-    if mime in ("image/x-portable-pixmap", "image/ppm", "image/jpeg"):
+    MP4 requires ffmpeg-class demuxing — still a declared stub — and
+    raises NotImplementedError by design."""
+    if mime in ("image/x-portable-pixmap", "image/ppm", "image/jpeg",
+                "image/png"):
         if mime == "image/jpeg":
             from harvester_spark.operators.jpegcodec import decode_jpeg
             img = decode_jpeg(payload)
+        elif mime == "image/png":
+            from harvester_spark.operators.pngcodec import decode_png
+            img = decode_png(payload)
         else:
             img = decode_ppm(payload)
         h, w, _ = img.shape
@@ -210,7 +221,7 @@ def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
 
 
 REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav",
-                     "image/jpeg"}
+                     "image/jpeg", "image/png"}
 
 
 def extract_features(media: DataFrame, *,
@@ -268,10 +279,16 @@ def resize_images(media: DataFrame, width: int, height: int,
             out = pdf.copy()
             if use_stub is not True:
                 payloads = []
+                from harvester_spark.operators.pngcodec import (
+                    decode_png, encode_png)
                 for p, m in zip(out["payload"], out["mime"]):
                     if m == "image/jpeg":
                         payloads.append(bytearray(encode_jpeg(
                             box_resize(decode_jpeg(bytes(p)), width,
+                                       height))))
+                    elif m == "image/png":
+                        payloads.append(bytearray(encode_png(
+                            box_resize(decode_png(bytes(p)), width,
                                        height))))
                     elif m in REAL_DECODE_MIMES:
                         payloads.append(bytearray(encode_ppm(

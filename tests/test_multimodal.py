@@ -31,7 +31,8 @@ def test_extract_features_shape_and_determinism(media):
 def test_resize_plumbing(media):
     out = resize_images(media, 224, 224).toPandas()
     assert (out["width"] == 224).all() and (out["height"] == 224).all()
-    assert set(out["mime"]) <= {"image/x-portable-pixmap", "image/jpeg"}
+    assert set(out["mime"]) <= {"image/x-portable-pixmap", "image/jpeg",
+                                "image/png"}
 
 
 def test_sample_frames(media):
@@ -44,8 +45,10 @@ def test_sample_frames(media):
 
 
 def test_real_decoder_is_explicit_stub():
+    # video is the one remaining declared stub (needs ffmpeg-class work);
+    # PPM/WAV/JPEG/PNG all decode in-engine now
     with pytest.raises(NotImplementedError):
-        decode_real(b"xx", "image/png")
+        decode_real(b"xx", "video/mp4")
 
 
 def test_ppm_roundtrip_and_real_resize():
@@ -163,3 +166,35 @@ def test_jpeg_real_features_and_resize(spark, media):
     for r in rz.itertuples(index=False):
         if r.mime == "image/jpeg":
             assert decode_jpeg(bytes(r.payload)).shape == (10, 10, 3)
+
+
+# ---------------------------------------------------------------------------
+# in-engine PNG codec (operators/pngcodec.py)
+# ---------------------------------------------------------------------------
+
+def test_png_lossless_all_filters():
+    import numpy as np
+    from harvester_spark.operators.pngcodec import decode_png, encode_png
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(23, 37, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+
+
+def test_png_real_features_and_resize(spark, media):
+    from harvester_spark.operators.pngcodec import decode_png
+    out = extract_features(media, use_stub="auto").toPandas()
+    raw = media.toPandas().set_index("media_id")
+    n_png = 0
+    for r in out.itertuples(index=False):
+        if r.mime == "image/png":
+            n_png += 1
+            w, h = raw.loc[r.media_id, "width"], raw.loc[r.media_id, "height"]
+            assert r.features[0] == w and r.features[1] == h
+    assert n_png > 0
+    rz = resize_images(media, 12, 9, use_stub="auto").toPandas()
+    for r in rz.itertuples(index=False):
+        if r.mime == "image/png":
+            assert decode_png(bytes(r.payload)).shape == (9, 12, 3)
