@@ -98,6 +98,13 @@ class _BitWriter:
             if b == 0xFF:          # byte stuffing
                 self.out.append(0x00)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-pad) and emit RSTn — unstuffed, per spec."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx % 8)])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -238,13 +245,16 @@ def _to_blocks(chan: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes.
 
     ``subsample=False``: 4:4:4 (one block per component per MCU).
     ``subsample=True``: 4:2:0 — Y at 2×2 blocks per 16×16 MCU, chroma
     box-downsampled 2× (the common camera/web layout; exercises the
-    decoder's sampling-factor path)."""
+    decoder's sampling-factor path). ``restart_interval`` > 0 emits DRI
+    + RSTn markers every N MCUs (error-resilience layout real encoders
+    use; exercises the decoder's restart resync)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB")
@@ -283,15 +293,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         cbzz, cgh, cgw = _quantize(_downsample2(Cb), qc, 1)
         crzz, _, _ = _quantize(_downsample2(Cr), qc, 1)
         mcuy, mcux = ygh // 2, ygw // 2
-        order = []   # (comp_idx, block_row_index) in MCU-interleaved order
+        mcus = []   # per MCU: [(comp_idx, block_row_index), ...]
         for my in range(mcuy):
             for mx in range(mcux):
+                mcu = []
                 for byi in range(2):
                     for bxi in range(2):
-                        order.append((0, (my * 2 + byi) * ygw
-                                      + mx * 2 + bxi))
-                order.append((1, my * cgw + mx))
-                order.append((2, my * cgw + mx))
+                        mcu.append((0, (my * 2 + byi) * ygw
+                                    + mx * 2 + bxi))
+                mcu.append((1, my * cgw + mx))
+                mcu.append((2, my * cgw + mx))
+                mcus.append(mcu)
         comps = [yzz, cbzz, crzz]
         samplings = [0x22, 0x11, 0x11]
     else:
@@ -299,8 +311,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         for chan, qt in ((Y, qy), (Cb, qc), (Cr, qc)):
             zz, gh, gw = _quantize(chan, qt, 1)
             comps.append(zz)
-        order = [(ci, bi) for bi in range(comps[0].shape[0])
-                 for ci in range(3)]
+        mcus = [[(ci, bi) for ci in range(3)]
+                for bi in range(comps[0].shape[0])]
         samplings = [0x11, 0x11, 0x11]
 
     # fixed-length canonical tables over every possible symbol
@@ -314,7 +326,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for ci, bi in order:
+    n_rst = 0
+    flat = []
+    for mi, mcu in enumerate(mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            flat.append(("RST",))
+        flat.extend(mcu)
+    for entry in flat:
+        if entry == ("RST",):
+            bw.restart(n_rst)
+            n_rst += 1
+            prev_dc = [0, 0, 0]
+            continue
+        ci, bi = entry
         zz = comps[ci][bi]
         diff = int(zz[0]) - prev_dc[ci]
         prev_dc[ci] = int(zz[0])
@@ -361,7 +385,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
               + bytes([3, samplings[2], 1]))
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xFF\xD8" + jfif + dqt(0, qy) + dqt(1, qc)
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xFF\xD8" + jfif + dri + dqt(0, qy) + dqt(1, qc)
             + dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
             + dht(0, 1, dc_bits, dc_vals) + dht(1, 1, ac_bits, ac_vals)
             + sof + sos + scan + b"\xFF\xD9")

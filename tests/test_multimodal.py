@@ -198,3 +198,44 @@ def test_png_real_features_and_resize(spark, media):
     for r in rz.itertuples(index=False):
         if r.mime == "image/png":
             assert decode_png(bytes(r.payload)).shape == (9, 12, 3)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn layout (error-resilience framing real encoders emit) must
+    decode identically to the unframed stream."""
+    import numpy as np
+    from harvester_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    x = np.linspace(0, 4 * np.pi, 40)
+    img = np.zeros((40, 40, 3), dtype=np.uint8)
+    img[..., 0] = ((np.outer(np.sin(x), np.cos(x)) + 1) * 120).astype(np.uint8)
+    img[..., 1] = 90
+    img[..., 2] = np.linspace(0, 255, 40, dtype=np.uint8)[None, :]
+    for sub in (False, True):
+        plain = decode_jpeg(encode_jpeg(img, quality=88, subsample=sub))
+        for ri in (1, 3):
+            framed = decode_jpeg(encode_jpeg(img, quality=88, subsample=sub,
+                                             restart_interval=ri))
+            assert (framed == plain).all(), (sub, ri)
+
+
+def test_jpeg_huffman_nonuniform_table():
+    """The decoder must handle real-world VARIABLE-length canonical
+    tables (our encoder only emits fixed-length ones): write symbols with
+    the T.81 K.3-shaped DC table, read them back."""
+    from harvester_spark.operators.jpegcodec import (_BitReader, _BitWriter,
+                                                     _HuffDecoder,
+                                                     _canonical_codes)
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]  # K.3 shape
+    vals = list(range(12))
+    codes = _canonical_codes(bits, vals)
+    lengths = {s: ln for s, (c, ln) in codes.items()}
+    assert lengths[0] == 2 and lengths[5] == 3 and lengths[11] == 9
+    bw = _BitWriter()
+    seq = [0, 11, 5, 3, 7, 1, 9, 2, 0, 11]
+    for s in seq:
+        c, ln = codes[s]
+        bw.write(c, ln)
+    payload = bw.flush() + b"\xff\xd9"  # terminator so reads can't run off
+    dec = _HuffDecoder(bits, vals)
+    br = _BitReader(payload, 0)
+    assert [dec.decode(br) for _ in seq] == seq
