@@ -432,8 +432,11 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
         F.broadcast(seed_ranges),
         (F.col("doc_id_last") >= F.col("slo"))
         & (F.col("doc_id_first") <= F.col("shi")), "left_semi")
-        .select("term", "doc_id_first", "doc_count", "deltas", "tfs", "dls")
+        # deterministic cap: keep the highest-UB blocks (TakeOrdered, not
+        # an arbitrary first-seen prefix) so θ is reproducible run-to-run
+        .orderBy(F.col("ub").desc(), "term", "doc_id_first")
         .limit(seed_block_cap)
+        .select("term", "doc_id_first", "doc_count", "deltas", "tfs", "dls")
         .toPandas())
     if not len(seed_pdf):
         return None

@@ -119,6 +119,60 @@ def _bucket_drop_metrics(buckets_sized: DataFrame, max_bucket: int,
                  .alias("max_dropped_size")))
 
 
+def _watch_bucket_drops(sized: DataFrame, max_bucket: int,
+                        what: str) -> DataFrame:
+    """Attach a drop counter to the bucket table and warn (from a daemon
+    watcher) if the ``max_bucket`` guard actually discarded buckets.
+
+    Used on the ``with_metrics=False`` path so recall loss is NEVER silent.
+    The ``observe`` node rides the candidate plan for free (no extra job)
+    and the watcher blocks on the first action over that lineage. Spark 4.1
+    loses CollectMetrics values when the observed plan shares a cached
+    subtree (the row comes back empty), so callers persist ``sized`` and
+    the watcher falls back to the one-row aggregation over the warm cache
+    — off the caller's critical path either way."""
+    import threading
+    import warnings
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = sized.observe(
+        obs,
+        F.coalesce(F.sum((F.col("sz") > max_bucket).cast("long")),
+                   F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(F.sum(F.when(F.col("sz") > max_bucket, F.col("sz"))
+                         .otherwise(F.lit(0))), F.lit(0))
+        .alias("dropped_doc_entries"))
+
+    def _watch() -> None:
+        m = None
+        try:
+            m = obs.get  # blocks until the first action over this plan
+        except Exception:
+            pass  # empty/lost metrics row — fall back below
+        if m is None or "dropped_buckets" not in m:
+            try:
+                m = (sized.filter(F.col("sz") > max_bucket)
+                     .agg(F.count("*").alias("dropped_buckets"),
+                          F.coalesce(F.sum("sz"), F.lit(0))
+                          .alias("dropped_doc_entries"))
+                     .collect()[0].asDict())
+            except Exception:
+                return
+        if m.get("dropped_buckets"):
+            warnings.warn(
+                f"{what}: max_bucket={max_bucket} dropped "
+                f"{m['dropped_buckets']} bucket(s) covering "
+                f"{m['dropped_doc_entries']} doc entries — recall is "
+                f"reduced; pass with_metrics=True for full accounting or "
+                f"raise max_bucket", RuntimeWarning)
+
+    threading.Thread(target=_watch, daemon=True,
+                     name=f"{what}-bucket-drop-watch").start()
+    return observed
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3, seed: int = 42,
@@ -151,14 +205,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     sized = (banded.groupBy("band", "band_hash")
              .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
                   F.count("*").alias("sz")))
-    if with_metrics:
-        # metrics and pairs both read the bucket table; without this cache
-        # a caller evaluating both re-runs shingling + banding twice.
-        # MEMORY_ONLY throughout this module: per-call cache entries have
-        # no unpersist hook, so they must be evictable under LRU pressure
-        # rather than accumulating on disk across calls
-        from pyspark import StorageLevel
-        sized = sized.persist(StorageLevel.MEMORY_ONLY)
+    # metrics/watcher and pairs both read the bucket table; without this
+    # cache a caller evaluating both re-runs shingling + banding twice.
+    # MEMORY_ONLY throughout this module: per-call cache entries have no
+    # unpersist hook, so they must be evictable under LRU pressure rather
+    # than accumulating on disk across calls
+    from pyspark import StorageLevel
+    sized = sized.persist(StorageLevel.MEMORY_ONLY)
+    if not with_metrics:
+        sized = _watch_bucket_drops(sized, max_bucket, "minhash_lsh_pairs")
     metrics = _bucket_drop_metrics(sized, max_bucket, ["band", "band_hash"])
     buckets = sized.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
     # pair generation within bucket: explode × explode with a < b
@@ -337,10 +392,15 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
     sized = (keyed.groupBy("ci", "cv")
              .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"),
                   F.count("*").alias("sz")))
-    if with_metrics:
-        # metrics + cand both read the bucket table — cache it so the
-        # blocking aggregation runs once when a caller evaluates both
-        sized = sized.persist(StorageLevel.MEMORY_ONLY)
+    # metrics/watcher + cand both read the bucket table — cache it so the
+    # blocking aggregation runs once for both consumers
+    sized = sized.persist(StorageLevel.MEMORY_ONLY)
+    if not with_metrics:
+        # no metrics requested: still never drop silently — observe counter
+        # + warning if the guard fires (the default tightened from 100_000
+        # to 4096 in round 3; callers relying on the old recall must raise
+        # max_bucket)
+        sized = _watch_bucket_drops(sized, max_bucket, "simhash_near_pairs")
     metrics = _bucket_drop_metrics(sized, max_bucket, ["ci", "cv"])
     if with_metrics:
         dup_rows = fp2.filter(F.col("doc_id") != F.col("rep"))

@@ -94,6 +94,7 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             b = (self.acc >> self.nbits) & 0xFF
+            self.acc &= (1 << self.nbits) - 1  # keep acc a small int, not O(stream) bigint
             self.out.append(b)
             if b == 0xFF:          # byte stuffing
                 self.out.append(0x00)
@@ -133,8 +134,8 @@ class _BitReader:
                 raise EOFError("marker inside entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
         self.nbits += 8
+        self.acc = ((self.acc << 8) | b) & ((1 << self.nbits) - 1)
 
     def read_bit(self) -> int:
         if self.nbits == 0:

@@ -21,9 +21,11 @@ Spec forms accepted by :func:`apply_chain`:
 from __future__ import annotations
 
 import importlib
+import warnings
 from collections.abc import Callable
 from urllib.parse import parse_qsl, urlparse
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -220,8 +222,16 @@ def apply_chains_by_collection(df: DataFrame, key_col: str,
     if dflt is not None and all(v is not None for v in compiled.values()):
         try:
             return _route_single_pass(df, key_col, compiled, dflt)
-        except Exception:
-            pass  # e.g. branch type conflict on a shared output column
+        except AnalysisException as exc:
+            # only the expected plan-time conflicts (e.g. branch type
+            # mismatch on a shared output column) may fall back — a real
+            # bug in an EXPR_TRANSFORMS twin must surface, not silently
+            # drift from the DataFrame implementation
+            warnings.warn(
+                f"apply_chains_by_collection: single-pass CASE routing "
+                f"rejected by the analyzer ({exc.__class__.__name__}: "
+                f"{str(exc).splitlines()[0][:200]}); using union-of-"
+                f"subplans fallback", RuntimeWarning, stacklevel=2)
 
     parts = []
     for key, chain in chains.items():

@@ -37,3 +37,22 @@ def test_docid_delta_roundtrip(ids):
     first, gaps = encode_doc_ids(arr)
     out = decode_doc_ids(first, gaps, len(arr))
     assert (out == arr).all()
+
+
+def test_jpeg_bit_accumulators_stay_small():
+    """Regression: _BitWriter/_BitReader acc must be masked to live bits —
+    an unmasked acc grows into an O(stream) bigint and makes encode/decode
+    quadratic in scan size (r3 ADVICE: 256px decode took 50s)."""
+    from harvester_spark.operators.jpegcodec import _BitReader, _BitWriter
+
+    w = _BitWriter()
+    for i in range(5000):
+        w.write(i & 0x3F, 7)
+    assert w.acc < (1 << 8), "writer acc not truncated at byte boundaries"
+    data = w.flush()
+
+    r = _BitReader(b"\x5a" * 4096, 0)
+    for _ in range(4096 * 8 - 8):
+        r.read_bit()
+    assert r.acc < (1 << 16), "reader acc not truncated after refill"
+    assert len(data) > 4000

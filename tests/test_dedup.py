@@ -274,3 +274,28 @@ def test_simhash_chunk_plan_scales():
     assert small == 4            # one 16-bit chunk key is plenty
     assert huge >= 6             # >=30-bit keys at 1e12 docs
     assert comb(huge, 3) <= 64   # table count stays bounded
+
+
+def test_bucket_drop_warning_fires_without_metrics(spark):
+    """with_metrics=False must still surface max_bucket drops (r3 ADVICE:
+    silent recall regression) — the daemon watcher warns after the first
+    action over the candidate plan."""
+    import time
+    import warnings
+
+    docs = spark.createDataFrame(
+        [(i, f"the same boilerplate text repeated everywhere tok{i}")
+         for i in range(30)],
+        "doc_id long, content string")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        simhash_near_pairs(docs, max_bucket=2, n_docs=30).count()
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if any("simhash_near_pairs: max_bucket=2 dropped"
+                   in str(x.message) for x in rec):
+                break
+            time.sleep(0.25)
+    msgs = [str(x.message) for x in rec
+            if issubclass(x.category, RuntimeWarning)]
+    assert any("simhash_near_pairs: max_bucket=2 dropped" in m for m in msgs)
