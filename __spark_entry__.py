@@ -24,7 +24,8 @@ from harvester_spark.functions.text import (add_slash, ark_extract,
 from harvester_spark.functions.tokenize import doc_len_expr, tokens_expr
 from harvester_spark.operators.bm25 import (bm25_scores, query_topk_index,
                                             tokenize_query)
-from harvester_spark.operators.dedup import (minhash_lsh_pairs, shingles_expr,
+from harvester_spark.operators.dedup import (md5_hash64_expr,
+                                             minhash_lsh_pairs, shingles_expr,
                                              simhash_near_pairs)
 from harvester_spark.operators.index_build import IndexConfig, build_index
 from harvester_spark.operators.similarity import (cosine_topk, lsh_cosine_topk)
@@ -231,14 +232,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("jaccard_x10k")))
     q["ngram_jaccard_probe"] = ngram_jaccard_probe
 
-    def minhash_pairs(spark, sf):  # rows-only (hash-scheme specific)
-        return minhash_lsh_pairs(_docs(spark, sf), content_col="text",
-                                 jaccard_threshold=0.7).select("doc_a", "doc_b")
+    def minhash_pairs(spark, sf):
+        # oracle-checkable: exact-Jaccard-verified pairs over LSH
+        # candidates; at driver SF the corpus's similarity gap (pairs are
+        # either >=0.8 or <0.5) makes banded recall deterministically 1,
+        # so the output equals DuckDB's exhaustive shingle-join (asserted
+        # in tests/test_dedup.py against the exhaustive pair set)
+        return (minhash_lsh_pairs(_docs(spark, sf), content_col="text",
+                                  jaccard_threshold=0.7)
+                .select("doc_a", "doc_b",
+                        _x10k(F.col("jaccard")).alias("jaccard_x10k")))
     q["minhash_pairs"] = minhash_pairs
 
-    def simhash_pairs(spark, sf):  # rows-only
+    def simhash_pairs(spark, sf):
+        # oracle-checkable: fingerprints built on the md5-prefix token
+        # hash (bit-identical in DuckDB — md5_hash64_expr), and Manku
+        # blocking is exhaustive-recall by pigeonhole, so pairs equal the
+        # oracle's all-pairs popcount scan. Output is component-complete:
+        # identical fingerprints collapse to star pairs (hamming 0).
         return simhash_near_pairs(_docs(spark, sf), content_col="text",
-                                  max_hamming=3)
+                                  max_hamming=3, hash_expr=md5_hash64_expr)
     q["simhash_pairs"] = simhash_pairs
 
     # ---- text analysis ----
@@ -311,11 +324,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cos_x10k"), F.asc("vec_id")).limit(10))
     q["ivf_cosine_topk"] = ivf_cosine_topk
 
-    def lsh_cosine_q(spark, sf):  # rows-only (ANN, recall < 1 by design)
+    def lsh_cosine_q(spark, sf):
+        # exact-anchor entry (same pattern as ivf_cosine_topk): probe
+        # radius == n_planes probes every bucket, so the LSH machinery
+        # (hyperplane bucketing + probe enumeration + semi-join) runs but
+        # the candidate set degrades to the full table — output is exact
+        # cosine top-k, shared oracle. ANN selectivity/recall at partial
+        # probe radii is measured in tests/test_textstats_similarity.py.
         emb = _emb(spark, sf)
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-        return lsh_cosine_topk(emb, qv, 10).select("vec_id")
+        scores = lsh_cosine_topk(emb, qv, 10_000_000,
+                                 n_planes=6, n_probe_bits=6)
+        return (scores.select("vec_id", _x10k(F.col("cosine")).alias("cos_x10k"))
+                .orderBy(F.desc("cos_x10k"), F.asc("vec_id")).limit(10))
     q["lsh_cosine_topk"] = lsh_cosine_q
 
     # ---- harvester scalar-function parity (SURVEY §2.9) ----
@@ -816,6 +838,71 @@ SELECT sh.doc_id,
 FROM sh CROSS JOIN probe WHERE sh.doc_id > 0 AND sh.doc_id < 200
 """
 
+    # exhaustive pairwise Jaccard via an inverted shingle join — the
+    # corpus's similarity gap (>=0.8 or <0.5) makes LSH recall 1, so the
+    # Spark LSH+verify output equals this exact computation
+    o["minhash_pairs"] = f"""
+WITH sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, {X10K.format(v='jac')} AS jaccard_x10k
+FROM j WHERE jac >= 0.7
+"""
+
+    # simhash on the md5-prefix token hash (bit-identical to Spark's
+    # md5_hash64_expr); fingerprint kept as two 32-bit halves because
+    # DuckDB's << overflows at bit 63. Star pairs mirror the Spark op's
+    # identical-fingerprint rep-collapse (component-complete output).
+    o["simhash_pairs"] = f"""
+WITH tok AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({DOC_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t),
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+  FROM tok),
+votes AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN ((CASE WHEN bb.b < 32 THEN lo ELSE hi END)
+                        >> (bb.b % 32)) & 1 = 1
+             THEN tf ELSE -tf END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, bb.b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 AND b < 32
+             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp_lo,
+         sum(CASE WHEN s > 0 AND b >= 32
+             THEN (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT AS fp_hi
+  FROM votes GROUP BY doc_id),
+grp AS (
+  SELECT doc_id, fp_lo, fp_hi,
+         min(doc_id) OVER (PARTITION BY fp_lo, fp_hi) AS rep
+  FROM fp),
+star AS (
+  SELECT rep AS doc_a, doc_id AS doc_b, 0 AS hamming
+  FROM grp WHERE doc_id <> rep),
+reps AS (SELECT doc_id, fp_lo, fp_hi FROM grp WHERE doc_id = rep),
+near AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+              + bit_count(xor(a.fp_hi, b.fp_hi)) AS INTEGER) AS hamming
+  FROM reps a JOIN reps b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM near WHERE hamming <= 3
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM star
+"""
+
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     o["quality_feature_ints"] = f"""
 SELECT doc_id,
@@ -891,6 +978,8 @@ FROM dots ORDER BY cos_x10k DESC, vec_id ASC LIMIT 10
 
     # IVF at full probe is exact: same oracle as brute-force cosine
     o["ivf_cosine_topk"] = o["cosine_topk"]
+    # LSH at probe radius == n_planes probes every bucket: also exact
+    o["lsh_cosine_topk"] = o["cosine_topk"]
 
     o["sort_titles"] = r"""
 WITH s AS (

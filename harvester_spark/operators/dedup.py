@@ -253,13 +253,28 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     return pairs
 
 
+def md5_hash64_expr(c) -> "F.Column":
+    """64-bit token hash from the md5 hex prefix — bit-identical to what
+    DuckDB computes with ``('0x' || substr(md5(t), 1|9, 8))::BIGINT``, so
+    simhash fingerprints built on it are oracle-checkable. Production
+    keeps xxhash64 (one JVM op vs md5 + two conv); this exists for
+    cross-engine verification entries."""
+    hi = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash(docs: DataFrame, *, content_col: str = "content",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """(doc_id, simhash long) — sign-sum fingerprint, JVM-side."""
+            id_col: str = "doc_id", bits: int = 64,
+            hash_expr=F.xxhash64) -> DataFrame:
+    """(doc_id, simhash long) — sign-sum fingerprint, JVM-side.
+
+    ``hash_expr``: Column -> Column token hash (default xxhash64; pass
+    :func:`md5_hash64_expr` for DuckDB-replicable fingerprints)."""
     tok = (docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(tokens_expr(content_col)).alias("t"))
            .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-           .withColumn("h", F.xxhash64("t")))
+           .withColumn("h", hash_expr(F.col("t"))))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
                      F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
@@ -309,7 +324,8 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
                        chunks: int | None = None, n_docs: int | None = None,
                        target_bucket: int = 512,
                        max_bucket: int = 4096,
-                       with_metrics: bool = False):
+                       with_metrics: bool = False,
+                       hash_expr=F.xxhash64):
     """Near-dup pairs by SimHash, Manku-style multi-table blocking.
 
     64 fingerprint bits split into C chunks; one blocking table per
@@ -348,7 +364,8 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
     if chunks <= k:
         raise ValueError(f"chunks={chunks} must exceed max_hamming={k}")
 
-    fp = simhash(docs, content_col=content_col, id_col=id_col)
+    fp = simhash(docs, content_col=content_col, id_col=id_col,
+                 hash_expr=hash_expr)
     # rep-collapse in ONE shuffle: window-min over the fingerprint key
     # annotates every row with its representative — no groupBy + join
     # round-trip. The annotated table feeds the star pairs, the blocking

@@ -76,16 +76,22 @@ def bucket_ids(emb: DataFrame, planes: np.ndarray, *,
 def _probe_buckets(planes: np.ndarray, query_vec: list[float],
                    n_probe_bits: int) -> list[int]:
     """Query bucket + all buckets within ``n_probe_bits`` bit flips."""
+    from itertools import combinations
+
     q = np.asarray(query_vec, dtype=np.float64)
     n_planes = planes.shape[0]
     qbits = ((planes @ q) > 0).astype(np.int64)
     qbucket = int((qbits << np.arange(n_planes)).sum())
     probes = {qbucket}
-    if n_probe_bits >= 1:
-        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
-    if n_probe_bits >= 2:
-        probes |= {qbucket ^ (1 << i) ^ (1 << j)
-                   for i in range(n_planes) for j in range(i + 1, n_planes)}
+    # any radius up to n_planes (radius == n_planes probes every bucket —
+    # the exact-anchor degenerate case); the old hand-rolled form silently
+    # capped at radius 2
+    for r in range(1, min(n_probe_bits, n_planes) + 1):
+        for combo in combinations(range(n_planes), r):
+            b = qbucket
+            for i in combo:
+                b ^= 1 << i
+            probes.add(b)
     return sorted(probes)
 
 
