@@ -166,6 +166,7 @@ class IndexHandle:
 
     def __init__(self, spark: SparkSession, index_dir: str | Path,
                  cache: bool = True, collect_dictionary_max: int = 2_000_000):
+        self.spark = spark
         self.index_dir = Path(index_dir)
         self.meta = tables.read_meta(self.index_dir / "postings")
         self.dictionary = tables.read_table(spark,
@@ -247,13 +248,17 @@ class IndexHandle:
                                           np.empty(0), np.empty(0))
         return self._term_cache[term]
 
-    def topk_local(self, query: str, k: int, *, mode: str = "or") -> pd.DataFrame:
+    def topk_local(self, query: str, k: int, *, mode: str = "or",
+                   local_postings_cap: int = 2_000_000) -> pd.DataFrame:
         """ms-latency top-k served driver-side from cached term postings.
 
         Rank-identical to the distributed path (same float64 formula, same
-        tie rule). Intended for interactive serving of moderate-df terms;
-        a pathological term's postings (~GBs at 10^12 docs) belong on the
-        distributed path instead."""
+        tie rule). Intended for interactive serving of moderate-df terms; a
+        pathological term's postings (~GBs at 10^12 docs) must NOT be
+        collected, so when the yet-uncached postings for this query exceed
+        ``local_postings_cap`` entries (dictionary df is already
+        driver-resident — the check is free) the query is AUTO-ROUTED to
+        the distributed block-max path instead of collecting."""
         k1, b, avgdl = self.meta["k1"], self.meta["b"], self.meta["avgdl"]
         terms = tokenize_query(query)
         info = self.lookup(terms)
@@ -261,6 +266,14 @@ class IndexHandle:
         if not present or (mode == "and" and len(present) < len(terms)):
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
+        cached = getattr(self, "_term_cache", {})
+        pending = sum(int(info[t]["df"]) for t in present if t not in cached)
+        if pending > local_postings_cap:
+            dist = query_topk_index(self.spark, self, query, k, mode=mode)
+            pdf = dist.toPandas()
+            return pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "score": pdf["score"].astype("float64")})
         all_ids, all_parts = [], []
         for t in present:
             ids, tf, dl = self._term_postings(t)

@@ -43,17 +43,56 @@ def _perm_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]
 
 
 def exact_duplicates(docs: DataFrame, *, content_col: str = "content",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     sample_cap: int = 1000) -> DataFrame:
     """Groups of byte-identical documents: (content_sha256, n_dups, keep_id,
-    dup_ids). ``keep_id`` = min doc id (first-wins, like the reference's
-    order-preserving dedupe, dedupe_sourceresource.py:10-16)."""
-    return (docs
-            .select(F.col(id_col).alias("doc_id"),
-                    F.sha2(F.col(content_col), 256).alias("content_sha256"))
+    doc_ids, sample_truncated). ``keep_id`` = min doc id (first-wins, like
+    the reference's order-preserving dedupe, dedupe_sourceresource.py:10-16).
+
+    ``doc_ids`` is a CAPPED sample (first ``sample_cap`` members by id) —
+    an unbounded collect_list is a single multi-GB array cell for a
+    boilerplate file duplicated 10^7× at corpus scale, OOMing that reducer.
+    The cap is enforced BEFORE aggregation (row_number window over the same
+    shuffle key, so no extra exchange), keeping the agg buffer itself
+    bounded; ``sample_truncated`` flags capped groups. Full membership is
+    available row-per-member (bounded row size, any row count) via
+    :func:`exact_duplicate_members`."""
+    from pyspark.sql import Window
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("content_sha256"))
+    w = Window.partitionBy("content_sha256").orderBy("doc_id")
+    return (hashed
+            .withColumn("rn", F.row_number().over(w))
             .groupBy("content_sha256")
             .agg(F.count("*").alias("n_dups"),
                  F.min("doc_id").alias("keep_id"),
-                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("rn") <= sample_cap, F.col("doc_id"))))
+                 .alias("doc_ids"))
+            .filter(F.col("n_dups") > 1)
+            .withColumn("sample_truncated",
+                        F.col("n_dups") > F.lit(sample_cap)))
+
+
+def exact_duplicate_members(docs: DataFrame, *, content_col: str = "content",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Full dedup membership, one row per duplicated document:
+    (content_sha256, doc_id, keep_id, n_dups). The scale-safe companion to
+    :func:`exact_duplicates` — row SIZE is bounded regardless of group
+    size, so a 10^7-member boilerplate group is 10^7 small rows instead of
+    one giant array cell. Keep/drop pairs are ``doc_id != keep_id`` rows;
+    one shuffle (window over the sha key)."""
+    from pyspark.sql import Window
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("content_sha256"))
+    w = Window.partitionBy("content_sha256")
+    return (hashed
+            .withColumn("keep_id", F.min("doc_id").over(w))
+            .withColumn("n_dups", F.count("*").over(w))
             .filter(F.col("n_dups") > 1))
 
 

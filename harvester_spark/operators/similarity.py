@@ -19,7 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StructField,
+                               StructType)
 
 
 def _dot(a, b):
@@ -118,6 +119,38 @@ def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int, *,
 # Persisted ANN index: bucket as a physical partition key
 # ---------------------------------------------------------------------------
 
+def _ann_build_frame(emb: DataFrame, planes: np.ndarray, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """Pre-write frame for :func:`build_ann_index` — exposed so tests can
+    assert the build DAG contains no shuffle join of the embedding table.
+    Assignment carries the vector payload through the UDF: emitting only
+    (vec_id, bucket) and joining back would shuffle the full embedding
+    table a second time (r3 verdict finding)."""
+    vec_type = emb.schema[vec_col].dataType
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", vec_type),
+                         StructField("bucket", LongType())])
+    planes_b = planes
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy())
+            bits = (M @ planes_b.T) > 0
+            buck = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(planes_b.shape[0]):
+                buck |= bits[:, i].astype(np.int64) << i
+            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"),
+                                "embedding": pdf[vec_col],
+                                "bucket": buck})
+
+    # norm as a projection over the UDF output (not numpy) so the stored
+    # value is bit-identical to the query-time _norm expression
+    return (emb.select(id_col, vec_col).mapInPandas(assign, schema)
+            .withColumn("norm", _norm(F.col("embedding"))))
+
+
 def build_ann_index(emb: DataFrame, out_dir, *, id_col: str = "vec_id",
                     vec_col: str = "embedding", n_planes: int = 12,
                     seed: int = 42) -> None:
@@ -134,11 +167,7 @@ def build_ann_index(emb: DataFrame, out_dir, *, id_col: str = "vec_id",
     sample = emb.select(vec_col).first()
     dim = len(sample[0])
     planes = hyperplanes(dim, n_planes, seed)
-    b = bucket_ids(emb, planes, id_col=id_col, vec_col=vec_col)
-    withb = (emb.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"))
-             .join(b, "vec_id")
-             .withColumn("norm", _norm(F.col("embedding"))))
+    withb = _ann_build_frame(emb, planes, id_col, vec_col)
     out = Path(out_dir)
     (withb.write.mode("overwrite").partitionBy("bucket")
      .parquet(str(out / "vectors")))
@@ -223,6 +252,33 @@ def _train_sample(emb: DataFrame, vec_col: str, train_sample: int,
     return X
 
 
+def _ivf_build_frame(emb: DataFrame, C: np.ndarray, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """Pre-write frame for :func:`build_ivf_index` (test-visible — see
+    :func:`_ann_build_frame`). Assignment carries the vector payload
+    through the UDF (no join-back shuffle of the full table); norm is a
+    post-UDF projection so it stays bit-identical to query-time _norm."""
+    vec_type = emb.schema[vec_col].dataType
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", vec_type),
+                         StructField("list_id", LongType())])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                               1e-12)
+            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"),
+                                "embedding": pdf[vec_col],
+                                "list_id": (M @ C.T).argmax(axis=1)
+                                .astype("int64")})
+
+    return (emb.select(id_col, vec_col).mapInPandas(assign, schema)
+            .withColumn("norm", _norm(F.col("embedding"))))
+
+
 def build_ivf_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
                     train_sample: int = 20_000, seed: int = 42,
                     id_col: str = "vec_id",
@@ -238,26 +294,7 @@ def build_ivf_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
 
     sample = _train_sample(emb, vec_col, train_sample, seed)
     C = _kmeans(sample, n_centroids, seed=seed)
-
-    schema = StructType([StructField("vec_id", LongType()),
-                         StructField("list_id", LongType())])
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
-                               1e-12)
-            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"),
-                                "list_id": (M @ C.T).argmax(axis=1)
-                                .astype("int64")})
-
-    lists = emb.select(id_col, vec_col).mapInPandas(assign, schema)
-    withl = (emb.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("embedding"))
-             .join(lists, "vec_id")
-             .withColumn("norm", _norm(F.col("embedding"))))
+    withl = _ivf_build_frame(emb, C, id_col, vec_col)
     out = Path(out_dir)
     (withl.write.mode("overwrite").partitionBy("list_id")
      .parquet(str(out / "vectors")))
@@ -359,6 +396,43 @@ def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 12,
     return C
 
 
+def _ivfpq_build_frame(emb: DataFrame, C: np.ndarray, books: np.ndarray,
+                       m_subvectors: int, dsub: int, id_col: str,
+                       vec_col: str) -> DataFrame:
+    """Pre-write frame for :func:`build_ivfpq_index` (test-visible — see
+    :func:`_ann_build_frame`): one encode pass emits list assignment, PQ
+    codes, norm AND the raw vector payload together."""
+    vec_type = emb.schema[vec_col].dataType
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("list_id", LongType()),
+                         StructField("codes", BinaryType()),
+                         StructField("norm", DoubleType()),
+                         StructField("embedding", vec_type)])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            Mn = M / np.maximum(norms[:, None], 1e-12)
+            lists = (Mn @ C.T).argmax(axis=1)
+            R = Mn - C[lists]
+            codes = np.empty((len(M), m_subvectors), dtype=np.uint8)
+            for j in range(m_subvectors):
+                sub = R[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].astype("int64"),
+                "list_id": lists.astype("int64"),
+                "codes": [c.tobytes() for c in codes],
+                "norm": norms,
+                "embedding": pdf[vec_col]})
+
+    return emb.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
 def build_ivfpq_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
                       m_subvectors: int = 8, n_codes: int = 256,
                       train_sample: int = 20_000, seed: int = 42,
@@ -370,10 +444,15 @@ def build_ivfpq_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
     classic memory-scale ANN shape (Jégou/Douze/Schmid PQ): at 10^12
     vectors × 768 floats the raw corpus is ~3 PB, the PQ codes ~8-64 TB.
 
-    Artifacts under ``out_dir``: ``pq/`` (vec_id, codes binary[m], norm;
-    partitioned by list_id), ``vectors/`` (raw, same partitioning — the
-    exact-rerank side), ``ivfpq_meta.json`` (centroids + codebooks).
-    Encoding is one matmul-chain per Arrow batch; no per-row Python."""
+    Artifacts under ``out_dir``: ``vectors/`` (vec_id, codes binary[m],
+    norm, embedding; partitioned by list_id) and ``ivfpq_meta.json``
+    (centroids + codebooks). Codes and raw vectors share ONE table: the
+    ADC scan projects only (vec_id, list_id, codes) so parquet column
+    pruning keeps its I/O at m bytes/row — the memory story is an I/O
+    property of columnar projection, not of file separation — while the
+    single fused write avoids both the old pq-table re-read join and a
+    second encode pass. Encoding is one matmul-chain per Arrow batch; no
+    per-row Python."""
     import json
     from pathlib import Path
 
@@ -398,43 +477,13 @@ def build_ivfpq_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
         for j in range(m_subvectors)])                   # (m, ≤256, dsub)
     n_codes_eff = books.shape[1]
 
-    schema = ("vec_id long, list_id long, codes binary, norm double")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(M, axis=1)
-            Mn = M / np.maximum(norms[:, None], 1e-12)
-            lists = (Mn @ C.T).argmax(axis=1)
-            R = Mn - C[lists]
-            codes = np.empty((len(M), m_subvectors), dtype=np.uint8)
-            for j in range(m_subvectors):
-                sub = R[:, j * dsub:(j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(2)
-                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
-            yield pd.DataFrame({
-                "vec_id": pdf[id_col].astype("int64"),
-                "list_id": lists.astype("int64"),
-                "codes": [c.tobytes() for c in codes],
-                "norm": norms})
-
     out = Path(out_dir)
-    enc = emb.select(id_col, vec_col).mapInPandas(encode, schema)
+    # one fused write: codes + raw vectors in one table (column-pruned at
+    # query time), ONE encode pass, zero joins — the old layout re-read
+    # the pq table to recover (vec_id, list_id) and joined the corpus
+    enc = _ivfpq_build_frame(emb, C, books, m_subvectors, dsub,
+                             id_col, vec_col)
     (enc.write.mode("overwrite").partitionBy("list_id")
-     .parquet(str(out / "pq")))
-    # raw vectors, same partitioning: the exact-rerank side reads ONLY the
-    # candidate rows of the probed lists (partition-pruned + id-pruned).
-    # The list assignment is read BACK from the just-written pq table —
-    # reusing `enc` here would re-run the whole encode mapInPandas (the
-    # dominant build cost) a second time just to recover (vec_id, list_id)
-    lists = (emb.sparkSession.read.parquet(str(out / "pq"))
-             .select("vec_id", "list_id"))
-    (emb.select(F.col(id_col).alias("vec_id"),
-                F.col(vec_col).alias("embedding"))
-     .join(lists, "vec_id")
-     .write.mode("overwrite").partitionBy("list_id")
      .parquet(str(out / "vectors")))
     (out / "ivfpq_meta.json").write_text(json.dumps(
         {"n_centroids": int(C.shape[0]), "dim": dim,
@@ -472,7 +521,9 @@ def query_ivfpq_index(spark, index_dir, query_vec: list[float], k: int, *,
                     for j in range(m)])                   # (m, n_codes)
     qdotc = {int(p): float(C[p] @ qn) for p in probes}
 
-    pq = (spark.read.parquet(str(Path(index_dir) / "pq"))
+    # single fused table: the select below projects only (vec_id, codes,
+    # list_id), so parquet column pruning never reads the embedding column
+    pq = (spark.read.parquet(str(Path(index_dir) / "vectors"))
           .filter(F.col("list_id").isin([int(p) for p in probes])))
     schema = "vec_id long, cosine double"
 

@@ -203,3 +203,35 @@ def test_range_localized_pruning_exact(spark, index_dir, oracle, q, mode):
     assert_rank_identical(pruned, want, f"localized {mode} {q!r}")
     assert 0 < m["blocks_scored"] <= m["blocks_total"]
     assert 0.0 <= m["block_skip_ratio"] < 1.0
+
+
+def test_local_serving_hot_term_auto_fallback(spark, index_dir, oracle):
+    """A query whose uncached postings exceed local_postings_cap must route
+    to the distributed path WITHOUT collecting postings driver-side (r3
+    verdict: topk_local on a 10^12-doc index would collect GBs)."""
+    from harvester_spark.operators.bm25 import open_index
+
+    h = open_index(spark, index_dir)
+    q, k = "import def", 10
+
+    def _no_collect(term):
+        raise AssertionError("hot-term query collected postings driver-side")
+
+    h._term_postings = _no_collect
+    got = h.topk_local(q, k, local_postings_cap=0)  # every term is "hot"
+    want = oracle.topk(tokenize_query(q), k)
+    assert_rank_identical(got, want, "auto-fallback")
+
+    # warm cache path still honored: cached terms don't count toward cap
+    h2 = open_index(spark, index_dir)
+    h2.topk_local(q, k)  # populates the term cache
+    h2._orig = h2._term_postings
+    calls = []
+
+    def _spy(term):
+        calls.append(term)
+        return h2._orig(term)
+
+    h2._term_postings = _spy
+    got2 = h2.topk_local(q, k, local_postings_cap=0)
+    assert_rank_identical(got2, want, "warm-cache-under-cap")

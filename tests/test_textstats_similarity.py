@@ -229,3 +229,36 @@ def test_ivf_quantizer_representative_on_skewed_partitions(spark, tmp_path):
         got = {r["vec_id"] for r in
                query_ivf_index(spark, idx_a, q, 10, nprobe=1).collect()}
         assert len(got & want) >= 8, f"cluster {c}: recall {len(got & want)}/10"
+
+
+def test_ann_builds_have_no_shuffle_join(spark):
+    """r3 verdict: the ANN builds used to emit (vec_id, bucket) from the
+    assignment UDF and join it back to the embedding table — shuffling
+    the corpus twice. The fused builds must plan with NO join and NO
+    exchange: scan -> mapInPandas [-> project]."""
+    import numpy as np
+
+    from harvester_spark.operators.similarity import (_ann_build_frame,
+                                                      _ivf_build_frame,
+                                                      _ivfpq_build_frame,
+                                                      hyperplanes)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planes = hyperplanes(dim, 8, 42)
+    rng = np.random.default_rng(0)
+    C = rng.standard_normal((4, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    dsub = dim // 4
+    books = rng.standard_normal((4, 16, dsub))
+
+    frames = {
+        "ann": _ann_build_frame(emb, planes, "vec_id", "embedding"),
+        "ivf": _ivf_build_frame(emb, C, "vec_id", "embedding"),
+        "ivfpq": _ivfpq_build_frame(emb, C, books, 4, dsub,
+                                    "vec_id", "embedding"),
+    }
+    for name, f in frames.items():
+        plan = f._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, f"{name} build plans a join:\n{plan}"
+        assert "Exchange" not in plan, f"{name} build shuffles:\n{plan}"
