@@ -181,10 +181,19 @@ class IndexHandle:
             # caching is a working-set decision left to the deployment
             self.dictionary = self.dictionary.cache()
             self.postings = self.postings.cache()
-        # driver-side dictionary: kills the per-query lookup job when the
-        # vocabulary fits (a 10^9-term dictionary at real scale stays
-        # distributed — then lookups cost one tiny cached-scan job)
+        # term lookup, best-available tier:
+        # 1. front-coded dictionary segment (index built with the dictseg
+        #    stage): µs lookups at ANY vocabulary size, driver memory =
+        #    block leaders only — removes the old 2M hash-map ceiling
+        # 2. collected hash map when the vocabulary fits the cap
+        # 3. per-query cached-scan job (one tiny Spark job)
         self.term_info: dict[str, dict] | None = None
+        self.dict_segment = None
+        from harvester_spark.operators import dictseg as _dictseg
+        seg_dir = self.index_dir / "dictseg"
+        if _dictseg.is_committed(seg_dir):
+            self.dict_segment = _dictseg.DictSegment(seg_dir)
+            return
         if collect_dictionary_max <= 0:
             return  # ad-hoc path: no vocabulary scan job at all
         n_terms = self.dictionary.count()
@@ -200,6 +209,8 @@ class IndexHandle:
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         """term → {df, idf, max_tfnorm} for the present query terms."""
+        if self.dict_segment is not None:
+            return self.dict_segment.lookup(terms)
         if self.term_info is not None:
             return {t: self.term_info[t] for t in terms
                     if t in self.term_info}
@@ -215,6 +226,9 @@ class IndexHandle:
     def unpersist(self) -> None:
         self.dictionary.unpersist()
         self.postings.unpersist()
+        if self.dict_segment is not None:
+            self.dict_segment.close()
+            self.dict_segment = None
 
     # -- interactive serving path ------------------------------------------
     # The reference serves queries from a long-lived Solr at ~ms latency;

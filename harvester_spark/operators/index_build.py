@@ -744,4 +744,19 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
         for f in futs:
             f.result()
 
+    # S7 — front-coded dictionary segment: interactive term lookup with
+    # driver memory = leaders only (1/128th of terms), no hash-map cap.
+    # Streamed via toLocalIterator over the distributed sort — O(block)
+    # driver memory at any dictionary size.
+    def s7(out: Path) -> None:
+        from harvester_spark.operators.dictseg import write_dict_segment
+        ub = (tables.read_table(spark, index_dir / "term_ub")
+              .select("term", "max_tfnorm"))
+        rows = (dictionary.join(ub, "term", "left")
+                .select("term", "df", "idf", "max_tfnorm")
+                .orderBy("term")
+                .toLocalIterator())
+        write_dict_segment(rows, out)
+    stage("dictseg", s7)
+
     return report

@@ -1,0 +1,100 @@
+"""Front-coded dictionary segment: roundtrip, edge cases, and parity with
+the collected-hash-map lookup tier inside IndexHandle."""
+
+import math
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from harvester_spark.operators.dictseg import (DictSegment, is_committed,
+                                               write_dict_segment)
+
+
+def _rows(terms):
+    return [(t, i + 1, 1.0 / (i + 1), 0.5 * (i + 1)) for i, t in
+            enumerate(sorted(terms))]
+
+
+def test_roundtrip_small(tmp_path):
+    terms = ["apple", "apply", "banana", "band", "bandit", "z"]
+    info = write_dict_segment(_rows(terms), tmp_path, block_size=2)
+    assert info["n_terms"] == 6 and info["n_blocks"] == 3
+    assert is_committed(tmp_path)
+    seg = DictSegment(tmp_path)
+    for i, t in enumerate(sorted(terms)):
+        got = seg.get(t)
+        assert got == {"df": i + 1, "idf": 1.0 / (i + 1),
+                       "max_tfnorm": 0.5 * (i + 1)}
+    assert seg.get("appl") is None          # prefix of a present term
+    assert seg.get("applya") is None        # extension of a present term
+    assert seg.get("aa") is None            # before the first leader
+    assert seg.get("zz") is None            # after the last term
+    assert seg.lookup(["band", "nope", "z"]).keys() == {"band", "z"}
+    seg.close()
+
+
+def test_nan_max_tfnorm_means_absent(tmp_path):
+    write_dict_segment([("t", 3, 2.5, None)], tmp_path)
+    seg = DictSegment(tmp_path)
+    assert seg.get("t") == {"df": 3, "idf": 2.5, "max_tfnorm": None}
+    seg.close()
+
+
+def test_unsorted_input_rejected(tmp_path):
+    with pytest.raises(ValueError, match="sorted"):
+        write_dict_segment([("b", 1, 1.0, None), ("a", 1, 1.0, None)],
+                           tmp_path)
+    with pytest.raises(ValueError, match="sorted"):
+        write_dict_segment([("a", 1, 1.0, None), ("a", 1, 1.0, None)],
+                           tmp_path)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.text(alphabet="ab_0é", min_size=1, max_size=12),
+               min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=17))
+def test_roundtrip_property(tmp_path_factory, terms, block_size):
+    tmp = tmp_path_factory.mktemp("seg")
+    rows = _rows(terms)
+    write_dict_segment(rows, tmp, block_size=block_size)
+    seg = DictSegment(tmp)
+    for t, df, idf, mt in rows:
+        assert seg.get(t) == {"df": df, "idf": idf, "max_tfnorm": mt}
+    # absent probes: mutations of present terms
+    for t, *_ in rows[:50]:
+        if t + "x" not in terms:
+            assert seg.get(t + "x") is None
+    seg.close()
+
+
+def test_index_handle_uses_segment(spark, tmp_path):
+    """An index built with the dictseg stage must serve lookups from the
+    segment (no collected map) and stay rank-identical."""
+    from harvester_spark.fixtures.corpus import make_corpus
+    from harvester_spark.operators.bm25 import open_index
+    from harvester_spark.operators.docids import assign_doc_ids
+    from harvester_spark.operators.index_build import IndexConfig, build_index
+
+    docs = assign_doc_ids(spark.createDataFrame(make_corpus(300, seed=7)))
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(salt_df_threshold=200, salt_range_docs=500))
+    h = open_index(spark, d)
+    assert h.dict_segment is not None
+    assert h.term_info is None  # the hash-map tier was never built
+    seg_info = h.lookup(["import", "def", "qqzz_absent"])
+    assert "qqzz_absent" not in seg_info and "import" in seg_info
+
+    # parity with the dictionary table the segment was written from
+    rows = (h.dictionary.filter(h.dictionary.term.isin(["import", "def"]))
+            .collect())
+    want = {r["term"]: r for r in rows}
+    for t in ("import", "def"):
+        assert seg_info[t]["df"] == want[t]["df"]
+        assert math.isclose(seg_info[t]["idf"], want[t]["idf"],
+                            rel_tol=1e-12)
+    got = h.topk_local("import numpy", 5)
+    assert len(got) == 5
+    h.unpersist()

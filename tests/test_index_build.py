@@ -146,7 +146,10 @@ def test_build_is_resumable(spark, corpus_df, tmp_path):
     shutil.rmtree(d / "lineage")
     r2 = build_index(spark, corpus_df, d, cfg=cfg)
     skipped = {s["stage"] for s in r2.stages if s.get("skipped")}
-    assert skipped == {"packed", "stats", "dictionary"}
+    # dictseg survived the simulated crash too; every stage is a
+    # deterministic function of committed upstream stages, so resuming
+    # with it already committed is correct
+    assert skipped == {"packed", "stats", "dictionary", "dictseg"}
     lin = tables.read_table(spark, d / "lineage").toPandas()
     assert lin["postings"].sum() > 0
     assert (lin["status"] == "complete").all()
