@@ -13,9 +13,11 @@ Decode support comes in two tiers:
   4:4:4 + 4:2:0, arbitrary DHT, restart markers), and PNG via stdlib
   zlib + all five scanline filters (operators/pngcodec.py) — full
   decode → features → resize/re-encode paths, exercised end-to-end.
-- Video (MP4) still needs ffmpeg-class demux/codec work; for that mime
-  ``decode_real`` raises NotImplementedError by design and
-  ``decode_stub_features`` provides the deterministic stand-in so the
+- Video via MJPEG-in-AVI (operators/avicodec.py): RIFF demux + per-frame
+  baseline-JPEG decode, all in-engine — real frame sampling and video
+  features. MP4 proper (ISO-BMFF + H.26x) still needs ffmpeg-class work;
+  for that one mime ``decode_real`` raises NotImplementedError by design
+  and ``decode_stub_features`` provides the deterministic stand-in so the
   Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
   shape) stays real and tested either way.
 """
@@ -155,7 +157,22 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             rows.append((i, "image/png",
                          bytearray(encode_png(img, filter_type=i % 5)),
                          w, h, None))
-        else:  # opaque compressed payload (stub path)
+        elif i % 16 == 7:  # real MJPEG-AVI video (in-engine RIFF demux)
+            from harvester_spark.operators.avicodec import encode_avi_mjpeg
+            w, h = int(rng.integers(2, 6)) * 8, int(rng.integers(2, 6)) * 8
+            n_frames = int(rng.integers(2, 6))
+            fps = int(rng.integers(5, 30))
+            base = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+            frames = []
+            for fi in range(n_frames):
+                f = np.repeat(np.repeat(base, h // 4, axis=0),
+                              w // 4, axis=1)[:h, :w]
+                frames.append(np.clip(f.astype(np.int32) + 7 * fi, 0,
+                                      255).astype(np.uint8))
+            rows.append((i, "video/x-msvideo",
+                         bytearray(encode_avi_mjpeg(frames, fps=fps)),
+                         w, h, int(n_frames * 1000 / fps)))
+        else:  # opaque compressed payload (stub path: MP4 stays declared)
             payload = rng.bytes(64 + int(rng.integers(0, 256)))
             rows.append((i, "video/mp4", bytearray(payload), None, None,
                          int(rng.integers(100, 10_000))))
@@ -170,8 +187,23 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
     brightness histogram].
     WAV audio: [duration_s, rate/48k, rms, zero-crossing rate, peak,
                 8 log-spaced rFFT band energies, 3 zeros]
+    MJPEG-AVI video (operators/avicodec.py RIFF demux + per-frame JPEG):
+    [n_frames, w, h, fps, mean/std luminance, mean inter-frame abs diff,
+     8-bin brightness histogram, 1 zero]
     MP4 requires ffmpeg-class demuxing — still a declared stub — and
     raises NotImplementedError by design."""
+    if mime in ("video/x-msvideo", "video/avi"):
+        from harvester_spark.operators.avicodec import decode_avi_mjpeg
+        frames, meta = decode_avi_mjpeg(payload)
+        lum = np.stack([f.mean(axis=2) for f in frames])  # (n, h, w)
+        diffs = (np.abs(np.diff(lum, axis=0)).mean()
+                 if len(frames) > 1 else 0.0)
+        hist = np.histogram(lum, bins=8, range=(0, 256))[0] / max(1, lum.size)
+        out = np.concatenate((
+            [len(frames), meta["width"], meta["height"], meta["fps"] or 0,
+             lum.mean() / 255.0, lum.std() / 255.0, diffs / 255.0],
+            hist, [0.0]))
+        return out[:FEATURE_DIM].astype(np.float32)
     if mime in ("image/x-portable-pixmap", "image/ppm", "image/jpeg",
                 "image/png"):
         if mime == "image/jpeg":
@@ -221,7 +253,7 @@ def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
 
 
 REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav",
-                     "image/jpeg", "image/png"}
+                     "image/jpeg", "image/png", "video/x-msvideo"}
 
 
 def extract_features(media: DataFrame, *,
@@ -306,9 +338,15 @@ def resize_images(media: DataFrame, width: int, height: int,
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
-                  *, use_stub: bool = True) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    (row-explode shape a real ffmpeg kernel would produce)."""
+                  *, use_stub: bool | str = "auto") -> DataFrame:
+    """Video frame-sampling: one output row per sampled frame.
+
+    MJPEG-AVI rows get REAL sampling (RIFF demux + one JPEG decode per
+    sampled timestamp; ``frame_sha256`` is the sha of the decoded RGB
+    bytes); other video mimes keep the deterministic stub row-explode
+    shape a real ffmpeg kernel would produce. ``use_stub``: True = stub
+    everywhere, False = real everywhere (raises for MP4), "auto" =
+    real where a decoder exists."""
     vids = media.filter(F.col("mime").startswith("video/"))
     schema = StructType([
         StructField("media_id", LongType()),
@@ -318,16 +356,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from harvester_spark.operators.avicodec import decode_avi_mjpeg
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if not use_stub:
-                    decode_real(bytes(r.payload), r.mime)
-                n_frames = max(1, int((r.duration_ms or 0) // every_ms))
-                for fi in range(n_frames):
-                    fake = hashlib.sha256(bytes(r.payload)
-                                          + fi.to_bytes(4, "big")).hexdigest()
-                    rows.append((int(r.media_id), fi, fi * every_ms, fake))
+                real = (use_stub is False
+                        or (use_stub == "auto"
+                            and r.mime in REAL_DECODE_MIMES))
+                if real and r.mime not in REAL_DECODE_MIMES:
+                    decode_real(bytes(r.payload), r.mime)  # raises: honest
+                if real:
+                    frames, meta = decode_avi_mjpeg(bytes(r.payload))
+                    fps = meta["fps"] or 25
+                    dur_ms = int(len(frames) * 1000 / fps)
+                    n_samp = max(1, dur_ms // every_ms)
+                    for fi in range(n_samp):
+                        src = min(int(fi * every_ms * fps / 1000),
+                                  len(frames) - 1)
+                        sha = hashlib.sha256(
+                            frames[src].tobytes()).hexdigest()
+                        rows.append((int(r.media_id), fi, fi * every_ms,
+                                     sha))
+                else:
+                    n_frames = max(1, int((r.duration_ms or 0) // every_ms))
+                    for fi in range(n_frames):
+                        fake = hashlib.sha256(
+                            bytes(r.payload)
+                            + fi.to_bytes(4, "big")).hexdigest()
+                        rows.append((int(r.media_id), fi, fi * every_ms,
+                                     fake))
             if rows:
                 yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
                                                   "ts_ms", "frame_sha256"])

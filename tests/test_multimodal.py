@@ -1,6 +1,7 @@
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from harvester_spark.operators.multimodal import (decode_real,
                                                   extract_features,
@@ -239,3 +240,67 @@ def test_jpeg_huffman_nonuniform_table():
     dec = _HuffDecoder(bits, vals)
     br = _BitReader(payload, 0)
     assert [dec.decode(br) for _ in seq] == seq
+
+
+def test_avi_mjpeg_roundtrip():
+    import numpy as np
+
+    from harvester_spark.operators.avicodec import (decode_avi_mjpeg,
+                                                    encode_avi_mjpeg,
+                                                    probe_avi)
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+    # 8x8-aligned flat cells: JPEG loss stays near zero, so the tolerance
+    # below actually tests the container framing, not codec noise
+    frames = [np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+              for _ in range(4)]
+    avi = encode_avi_mjpeg(frames, fps=8)
+    meta = probe_avi(avi)
+    assert meta == {"n_frames": 4, "width": 16, "height": 24, "fps": 8,
+                    "frame_sizes": meta["frame_sizes"]}
+    assert len(meta["frame_sizes"]) == 4
+    out, meta2 = decode_avi_mjpeg(avi)
+    assert len(out) == 4 and out[0].shape == (24, 16, 3)
+    for a, b in zip(frames, out):
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+    with pytest.raises(ValueError, match="RIFF"):
+        probe_avi(b"garbage" * 10)
+    with pytest.raises(ValueError, match="one size"):
+        encode_avi_mjpeg([frames[0], frames[0][:8]])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_avi_mjpeg([])
+
+
+def test_avi_real_features_and_frame_sampling(spark, media):
+    import hashlib
+
+    import numpy as np
+
+    from harvester_spark.operators.avicodec import decode_avi_mjpeg
+    from harvester_spark.operators.multimodal import (decode_real,
+                                                      extract_features)
+
+    avis = media.filter(F.col("mime") == "video/x-msvideo").toPandas()
+    assert len(avis) >= 1, "media table must contain real AVI rows"
+    r = avis.iloc[0]
+    feats = decode_real(bytes(r["payload"]), "video/x-msvideo")
+    frames, meta = decode_avi_mjpeg(bytes(r["payload"]))
+    assert feats[0] == len(frames)
+    assert feats[1] == r["width"] and feats[2] == r["height"]
+
+    # extract_features 'auto' must use the REAL decoder for AVI: its
+    # first feature is the frame count, which the sha-derived stub can
+    # only hit by 1e-4 chance
+    out = (extract_features(media).toPandas()
+           .set_index("media_id"))
+    got = out.loc[r["media_id"], "features"]
+    assert got[0] == len(frames)
+
+    # real frame sampling: sha of the DECODED first frame
+    sampled = sample_frames(media, every_ms=1000).toPandas()
+    mine = sampled[sampled["media_id"] == r["media_id"]]
+    assert len(mine) >= 1
+    want_sha = hashlib.sha256(frames[0].tobytes()).hexdigest()
+    assert mine.iloc[0]["frame_sha256"] == want_sha
