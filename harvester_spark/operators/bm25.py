@@ -740,7 +740,12 @@ def query_topk_index(spark: SparkSession,
         per_term = _per_term_max_ub(blocks, info, present, idf_by_term)
         # θ: k-th best partial score from the top-UB blocks (driver decode
         # of a handful of rows)
-        seed_n = max(8, (4 * k) // max(meta.get("block_size", 128), 1) + 2)
+        # r4 sweep (BENCH.md): seed_n = max(8, 4k/bs) left θ short of the
+        # pruning ceiling (or:import skip 0.9668 vs 0.9958 achievable); a
+        # 4× seed reaches the ceiling — the true top-k live in the top ~30
+        # UB blocks here — while 8×/16× add nothing. Driver cost is
+        # decoding ~4k postings: negligible against one pruned block.
+        seed_n = max(32, (16 * k) // max(meta.get("block_size", 128), 1) + 2)
         seed = blocks.orderBy(F.desc("ub")).limit(seed_n).toPandas()
         seed_sum = (_decode_block_rows(seed, idf_by_term, k1, b, avgdl)
                     .groupby("doc_id")["score"].sum())
