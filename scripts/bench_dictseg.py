@@ -47,9 +47,10 @@ print(f"write: {wt:.1f}s  ({info['n_terms']/wt:,.0f} terms/s)  "
 
 t0 = time.time()
 seg = DictSegment(out)
-print(f"open: {time.time()-t0:.2f}s  leaders={len(seg.leaders):,} "
-      f"(driver-resident ~{sum(len(l) for l in seg.leaders)/1e6:.1f} MB strings"
-      f" + {len(seg.leaders)*16/1e6:.1f} MB offsets)")
+leaders = seg.leaders
+print(f"open: {time.time()-t0:.2f}s  leaders={len(leaders):,} "
+      f"(driver-resident ~{sum(len(l) for l in leaders)/1e6:.1f} MB strings"
+      f" + {len(leaders)*16/1e6:.1f} MB offsets)")
 
 hits = rng.sample(terms, 2000)
 misses = [t + "@" for t in rng.sample(terms, 2000)]

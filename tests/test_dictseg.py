@@ -7,6 +7,7 @@ import struct
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from harvester_spark.operators.dictseg import (DictSegment, is_committed,
                                                write_dict_segment)
@@ -98,3 +99,36 @@ def test_index_handle_uses_segment(spark, tmp_path):
     got = h.topk_local("import numpy", 5)
     assert len(got) == 5
     h.unpersist()
+
+
+def test_distributed_writer_matches_driver_writer(spark, tmp_path):
+    """write_dict_segment_spark must produce a segment with identical
+    lookup results to the driver-streamed writer, across part splits."""
+    import random
+
+    from harvester_spark.operators.dictseg import write_dict_segment_spark
+
+    rng = random.Random(5)
+    terms = sorted({"".join(rng.choices("abcdef_", k=rng.randint(2, 9)))
+                    for _ in range(3000)})
+    rows = _rows(terms)
+    d1 = tmp_path / "driver"
+    write_dict_segment(rows, d1, block_size=16)
+
+    df = spark.createDataFrame(rows, "term string, df long, idf double, "
+                                     "max_tfnorm double")
+    d2 = tmp_path / "spark"
+    info = write_dict_segment_spark(df.orderBy(F.rand(seed=1)), d2,
+                                    block_size=16, terms_per_part=500)
+    assert info["n_terms"] == len(terms)
+    assert info["n_parts"] > 1, "want a real multi-part segment"
+    assert is_committed(d2)
+
+    s1, s2 = DictSegment(d1), DictSegment(d2)
+    for t, df_, idf, mt in rows:
+        assert s2.get(t) == s1.get(t) == {"df": df_, "idf": idf,
+                                          "max_tfnorm": mt}
+    for t in list(terms)[:200]:
+        assert s2.get(t + "zz") is None
+    s1.close()
+    s2.close()
