@@ -204,13 +204,16 @@ def write_dict_segment(rows: Iterable, out_dir: str | Path, *,
 
 def write_dict_segment_spark(df, out_dir: str | Path, *,
                              block_size: int = 128,
-                             terms_per_part: int = 65_536) -> dict:
+                             terms_per_part: int = 65_536,
+                             n_terms: int | None = None) -> dict:
     """Distributed writer: each task encodes one term range into its own
     part file (shared filesystem, like every other stage commit); the
     driver only validates ranges and writes the manifest.
 
     ``df``: DataFrame with term/df/idf/max_tfnorm columns (max_tfnorm
-    optional). One narrow range-shuffle; encode is per-task CPU."""
+    optional). One narrow range-shuffle; encode is per-task CPU.
+    ``n_terms``: pass the (approximate is fine — it only sizes parts)
+    term count when the caller knows it, to skip a count() job."""
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import functions as F
@@ -220,7 +223,7 @@ def write_dict_segment_spark(df, out_dir: str | Path, *,
     cols = df.columns
     if "max_tfnorm" not in cols:
         df = df.withColumn("max_tfnorm", F.lit(None).cast("double"))
-    n_terms_est = df.count()
+    n_terms_est = n_terms if n_terms is not None else df.count()
     n_parts = max(1, min(1024,
                          (n_terms_est + terms_per_part - 1)
                          // terms_per_part))

@@ -751,11 +751,15 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
     # 10^9 terms and an Amdahl drag on build scaling at any size.
     def s7(out: Path) -> None:
         from harvester_spark.operators.dictseg import write_dict_segment_spark
-        ub = (tables.read_table(spark, index_dir / "term_ub")
-              .select("term", "max_tfnorm"))
+        ub_table = tables.read_table(spark, index_dir / "term_ub")
+        # part sizing from a metadata-only parquet count (term_ub is one
+        # row per term) — counting the join would run the join twice
+        n_terms = ub_table.count()
         write_dict_segment_spark(
-            dictionary.join(ub, "term", "left")
-            .select("term", "df", "idf", "max_tfnorm"), out)
+            dictionary.join(ub_table.select("term", "max_tfnorm"),
+                            "term", "left")
+            .select("term", "df", "idf", "max_tfnorm"), out,
+            n_terms=n_terms)
     stage("dictseg", s7)
 
     return report
