@@ -1338,6 +1338,22 @@ ORDER BY l_returnflag, l_linestatus
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    def exact_dup_members(spark, sf):
+        # the corpus has no byte-identical docs at driver SF, so synthesize
+        # a deterministic dup set (first 50 docs re-ingested under shifted
+        # ids — the reference's re-harvest shape) and emit the row-per-
+        # member keep decisions of exact_duplicate_members (the bounded-
+        # payload companion to the capped exact_duplicates groups)
+        from harvester_spark.operators.dedup import exact_duplicate_members
+        docs = _docs(spark, sf).select("doc_id", "text")
+        dup = (docs.filter(F.col("doc_id") < 50)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       "text"))
+        return (exact_duplicate_members(docs.unionByName(dup),
+                                        content_col="text")
+                .select("doc_id", "keep_id", "n_dups"))
+    q["exact_dup_members"] = exact_dup_members
+
     def embedding_norms(spark, sf):
         v = F.col("embedding")
         norm = F.sqrt(F.aggregate(
@@ -1437,6 +1453,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    o["exact_dup_members"] = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+h AS (SELECT doc_id, sha256(text) AS s FROM src),
+g AS (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY s) AS keep_id,
+             count(*) OVER (PARTITION BY s) AS n_dups
+      FROM h)
+SELECT doc_id, keep_id, n_dups FROM g WHERE n_dups > 1
+"""
 
     o["embedding_norms"] = f"""
 WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings
