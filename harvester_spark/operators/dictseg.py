@@ -325,30 +325,46 @@ class DictSegment:
         man = json.loads((d / MANIFEST).read_text())
         self.n_terms = man["n_terms"]
         entries = man["parts"]
+        self._dir = d
+        self._files = [p["file"] for p in entries]
         self._firsts = [p["first_term"].encode("utf-8") for p in entries]
-        self._parts = [_Part(d / p["file"]) for p in entries]
+        # parts open LAZILY: at 10^9 terms / 1024 parts, eagerly loading
+        # every part's leader list is ~200 MB of driver memory for parts a
+        # query stream may never touch; lazy opening keeps the resident
+        # set at manifest + touched parts
+        self._parts: list[_Part | None] = [None] * len(entries)
+
+    def _part(self, pi: int) -> _Part:
+        p = self._parts[pi]
+        if p is None:
+            p = _Part(self._dir / self._files[pi])
+            self._parts[pi] = p
+        return p
 
     def close(self) -> None:
         for p in self._parts:
-            p.close()
+            if p is not None:
+                p.close()
+        self._parts = [None] * len(self._files)
 
     @property
     def leaders(self) -> list[bytes]:
-        """All block leaders across parts (diagnostics / sizing)."""
+        """All block leaders across parts (diagnostics / sizing — opens
+        every part)."""
         out: list[bytes] = []
-        for p in self._parts:
-            out.extend(p.leaders)
+        for i in range(len(self._files)):
+            out.extend(self._part(i).leaders)
         return out
 
     def get(self, term: str) -> dict | None:
         """{df, idf, max_tfnorm} or None — two bisects + one block."""
-        if not self._parts:
+        if not self._files:
             return None
         tb = term.encode("utf-8")
         pi = bisect_right(self._firsts, tb) - 1
         if pi < 0:
             return None
-        return self._parts[pi].get(tb)
+        return self._part(pi).get(tb)
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         """Same contract as ``IndexHandle.lookup``: present terms only."""

@@ -295,12 +295,14 @@ def resize_images(media: DataFrame, width: int, height: int,
                   *, use_stub: bool | str = "auto") -> DataFrame:
     """Image resize: filters to image/*, maps payload→payload.
 
-    PPM and JPEG payloads get a REAL decode → nearest-neighbor resize →
-    re-encode (pure numpy; JPEG via the in-engine T.81 codec); remaining
+    PPM/JPEG/PNG payloads get a REAL decode → nearest-neighbor resize →
+    re-encode (pure numpy; JPEG via the in-engine T.81 codec); MJPEG-AVI
+    video is resized frame-by-frame and re-containerized; remaining
     compressed formats keep the stub identity payload with updated
-    metadata (real kernel = Pillow drop-in). Binary-in/binary-out UDF
-    shape either way."""
-    imgs = media.filter(F.col("mime").startswith("image/"))
+    metadata (real kernel = Pillow/ffmpeg drop-in). Binary-in/binary-out
+    UDF shape either way."""
+    imgs = media.filter(F.col("mime").startswith("image/")
+                        | F.col("mime").isin("video/x-msvideo", "video/avi"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from harvester_spark.operators.jpegcodec import (decode_jpeg,
@@ -311,10 +313,17 @@ def resize_images(media: DataFrame, width: int, height: int,
             out = pdf.copy()
             if use_stub is not True:
                 payloads = []
+                from harvester_spark.operators.avicodec import (
+                    decode_avi_mjpeg, encode_avi_mjpeg)
                 from harvester_spark.operators.pngcodec import (
                     decode_png, encode_png)
                 for p, m in zip(out["payload"], out["mime"]):
-                    if m == "image/jpeg":
+                    if m in ("video/x-msvideo", "video/avi"):
+                        frames, meta = decode_avi_mjpeg(bytes(p))
+                        payloads.append(bytearray(encode_avi_mjpeg(
+                            [box_resize(f, width, height) for f in frames],
+                            fps=meta["fps"] or 25)))
+                    elif m == "image/jpeg":
                         payloads.append(bytearray(encode_jpeg(
                             box_resize(decode_jpeg(bytes(p)), width,
                                        height))))

@@ -33,7 +33,13 @@ def test_resize_plumbing(media):
     out = resize_images(media, 224, 224).toPandas()
     assert (out["width"] == 224).all() and (out["height"] == 224).all()
     assert set(out["mime"]) <= {"image/x-portable-pixmap", "image/jpeg",
-                                "image/png"}
+                                "image/png", "video/x-msvideo"}
+    # AVI rows were genuinely re-encoded: every frame now 224x224
+    from harvester_spark.operators.avicodec import decode_avi_mjpeg
+    avi = out[out["mime"] == "video/x-msvideo"]
+    assert len(avi) >= 1
+    frames, meta = decode_avi_mjpeg(bytes(avi.iloc[0]["payload"]))
+    assert frames and all(f.shape == (224, 224, 3) for f in frames)
 
 
 def test_sample_frames(media):
