@@ -95,6 +95,12 @@ class IndexConfig:
     # snappy file wins (page-cache + memory-bandwidth bound), so None
     # (session default = snappy) is the measured best.
     pack_compression: str | None = None
+    # front-coded dictionary segment stage (operators/dictseg.py): the
+    # interactive-lookup tier. Skipped for tiny throwaway indexes whose
+    # dictionaries fit the hash-map tier anyway (CDC delta batches pass
+    # False — one fewer job per micro-batch; IndexHandle degrades
+    # gracefully when the stage is absent)
+    build_dictseg: bool = True
 
 
 PACKED_SCHEMA = StructType([
@@ -760,6 +766,7 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
                             "term", "left")
             .select("term", "df", "idf", "max_tfnorm"), out,
             n_terms=n_terms)
-    stage("dictseg", s7)
+    if cfg.build_dictseg:
+        stage("dictseg", s7)
 
     return report
