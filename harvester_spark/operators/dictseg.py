@@ -1,8 +1,10 @@
 """Prefix-compressed dictionary segment: interactive term lookup without a
 driver-resident hash map.
 
-The reference serves term stats from Solr's in-memory term dictionary; our
-previous analogue collected the whole dictionary into a Python dict, capped
+The reference serves term stats from Solr's in-memory term dictionary (its
+queries hit a long-lived Solr searcher,
+/root/reference/harvester/fetcher/solr_fetcher.py:12-14); our previous
+analogue collected the whole dictionary into a Python dict, capped
 at 2M terms (``IndexHandle.collect_dictionary_max``) — at 10^9 terms that
 map is the next driver-memory ceiling (r3 verdict #7). This module writes
 the dictionary as a SORTED, front-coded segment (the Lucene terms-dict
