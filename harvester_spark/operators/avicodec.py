@@ -101,6 +101,16 @@ def _walk_chunks(buf: bytes, pos: int, end: int):
         pos += 8 + size + (size % 2)
 
 
+def _movi_frame_chunks(buf: bytes, pos: int, end: int):
+    """Yield (payload_start, size) for every video frame chunk inside a
+    movi list, recursing into the common ``LIST rec`` grouping."""
+    for fourcc, p, sz in _walk_chunks(buf, pos, end):
+        if fourcc == b"LIST" and buf[p:p + 4] == b"rec ":
+            yield from _movi_frame_chunks(buf, p + 4, p + sz)
+        elif fourcc[2:4] in (b"dc", b"db") and sz:
+            yield p, sz
+
+
 def probe_avi(payload: bytes) -> dict:
     """Container metadata without decoding frames: {n_frames, width,
     height, fps, frame_sizes}."""
@@ -122,23 +132,41 @@ def probe_avi(payload: bytes) -> dict:
                         meta["width"], meta["height"] = w, h
                         meta["n_frames"] = total
             elif ltype == b"movi":
-                sizes = [s for f2, _p2, s in
-                         _walk_chunks(payload, p + 4, p + sz)
-                         if f2[2:4] in (b"dc", b"db")]
+                sizes = [s for _p2, s in
+                         _movi_frame_chunks(payload, p + 4, p + sz)]
                 meta["frame_sizes"] = sizes
                 # trust the movi scan over the header count if they differ
                 meta["n_frames"] = len(sizes)
     return meta
 
 
+def decode_avi_frames(payload: bytes,
+                      indices: list[int] | None = None
+                      ) -> dict[int, np.ndarray]:
+    """Decode ONLY the requested frame indices → {index: HxWx3 uint8}.
+
+    The demux walk is byte-offset arithmetic; JPEG entropy decode (the
+    dominant cost) runs just for the selected frames — sampling one frame
+    per second of a 25 fps clip decodes 1/25th of the container instead
+    of all of it. ``indices=None`` decodes every frame."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    want = None if indices is None else set(indices)
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    out: dict[int, np.ndarray] = {}
+    for fourcc, p, sz in _walk_chunks(payload, 12, end):
+        if fourcc == b"LIST" and payload[p:p + 4] == b"movi":
+            for fi, (p2, sz2) in enumerate(
+                    _movi_frame_chunks(payload, p + 4, p + sz)):
+                if want is None or fi in want:
+                    out[fi] = decode_jpeg(payload[p2:p2 + sz2])
+                    if want is not None and len(out) == len(want):
+                        return out
+    return out
+
+
 def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], dict]:
     """AVI bytes → (frames as HxWx3 uint8, probe metadata)."""
     meta = probe_avi(payload)
-    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
-    frames = []
-    for fourcc, p, sz in _walk_chunks(payload, 12, end):
-        if fourcc == b"LIST" and payload[p:p + 4] == b"movi":
-            for f2, p2, sz2 in _walk_chunks(payload, p + 4, p + sz):
-                if f2[2:4] in (b"dc", b"db") and sz2:
-                    frames.append(decode_jpeg(payload[p2:p2 + sz2]))
-    return frames, meta
+    by_idx = decode_avi_frames(payload)
+    return [by_idx[i] for i in sorted(by_idx)], meta

@@ -169,7 +169,16 @@ def _watch_bucket_drops(sized: DataFrame, max_bucket: int,
     loses CollectMetrics values when the observed plan shares a cached
     subtree (the row comes back empty), so callers persist ``sized`` and
     the watcher falls back to the one-row aggregation over the warm cache
-    — off the caller's critical path either way."""
+    — off the caller's critical path either way.
+
+    Known cost: a caller that never executes the plan leaves the watcher
+    blocked on ``obs.get`` for the session lifetime — one idle daemon
+    thread plus the retained ``sized`` plan per abandoned call. The
+    reference must be strong (nothing else retains the Python object
+    after the operator returns, and a weakly-held plan would be collected
+    before the fallback could report on the NORMAL path); the persisted
+    cache entry is MEMORY_ONLY-evictable, so the footprint under pressure
+    is the thread, not the data."""
     import threading
     import warnings
 

@@ -53,9 +53,10 @@ from pathlib import Path
 from typing import Iterable, Iterator
 
 MAGIC = b"HSDSEG1\n"
-# same marker as tables.write_table so tables.is_committed / stage-resume
-# treat the segment like any other stage output
-SUCCESS_MARKER = "_STAGE_SUCCESS"
+# the tables module's marker, imported (not re-declared) so stage-resume
+# treats the segment like any other stage output even if the name changes
+from harvester_spark.tables import SUCCESS_MARKER  # noqa: E402
+
 MANIFEST = "manifest.json"
 
 
@@ -140,7 +141,15 @@ class _PartEncoder:
             self._flush_block()
 
     def write(self, path: Path) -> dict:
-        """Atomic write (tmp + rename); returns the manifest entry."""
+        """Atomic write (tmp + rename); returns the manifest entry.
+
+        The tmp name is attempt-unique: a speculative or retried Spark
+        task racing the original must not interleave writes into one tmp
+        file. Both attempts encode identical deterministic content, so
+        whichever rename lands last is byte-identical — the race is
+        harmless once the tmp files are distinct."""
+        import uuid
+
         self._flush_block()
         footer = bytearray()
         for leader, off, n in self.leaders:
@@ -148,7 +157,7 @@ class _PartEncoder:
             footer += leader
             footer += struct.pack("<Q", off)
             _write_varint(footer, n)
-        tmp = path.with_suffix(".tmp")
+        tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "wb") as f:
             f.write(bytes(self.blocks))
             footer_off = f.tell()
@@ -164,8 +173,29 @@ class _PartEncoder:
                 "bytes": path.stat().st_size}
 
 
-def _commit(out: Path, parts: list[dict], block_size: int) -> dict:
-    """Validate part ordering, write manifest + success marker."""
+def _stage_tmp(out: Path) -> Path:
+    """Fresh staging dir ``<out>.__tmp__`` — the same crash-atomicity
+    pattern as ``tables.write_table``: everything (parts AND manifest) is
+    built here, then swapped over ``out`` in one rename. Writing parts
+    straight into a previously-committed ``out`` would leave NEW part
+    files under the OLD manifest + success marker after a mid-write crash,
+    and the resumed build would silently serve mismatched lookups."""
+    import shutil
+
+    tmp = Path(str(out) + ".__tmp__")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    return tmp
+
+
+def _commit(out: Path, tmp: Path, parts: list[dict],
+            block_size: int) -> dict:
+    """Validate part ordering, write manifest into ``tmp``, swap dirs,
+    touch the success marker."""
+    import os
+    import shutil
+
     parts = [p for p in parts if p["n_terms"]]
     parts.sort(key=lambda p: p["first_term"])
     for a, b in zip(parts, parts[1:]):
@@ -174,8 +204,11 @@ def _commit(out: Path, parts: list[dict], block_size: int) -> dict:
                              f"[..{a['last_term']!r}] vs {b['file']} "
                              f"[{b['first_term']!r}..]")
     n_terms = sum(p["n_terms"] for p in parts)
-    (out / MANIFEST).write_text(json.dumps(
+    (tmp / MANIFEST).write_text(json.dumps(
         {"block_size": block_size, "n_terms": n_terms, "parts": parts}))
+    if out.exists():
+        shutil.rmtree(out)
+    os.rename(tmp, out)
     (out / SUCCESS_MARKER).touch()
     return {"n_terms": n_terms,
             "n_blocks": sum(p["n_blocks"] for p in parts),
@@ -191,7 +224,8 @@ def write_dict_segment(rows: Iterable, out_dir: str | Path, *,
     plain tuples. Terms MUST arrive sorted ascending (enforced — a
     mis-sorted segment binary-searches wrong silently)."""
     out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = _stage_tmp(out)
     enc = _PartEncoder(block_size)
     for r in rows:
         if isinstance(r, tuple):
@@ -201,7 +235,8 @@ def write_dict_segment(rows: Iterable, out_dir: str | Path, *,
                                  r["max_tfnorm"] if "max_tfnorm" in r
                                  else None)
         enc.add(term, df, idf, mt)
-    return _commit(out, [enc.write(out / "part-00000.seg")], block_size)
+    return _commit(out, tmp, [enc.write(tmp / "part-00000.seg")],
+                   block_size)
 
 
 def write_dict_segment_spark(df, out_dir: str | Path, *,
@@ -221,7 +256,8 @@ def write_dict_segment_spark(df, out_dir: str | Path, *,
     from pyspark.sql import functions as F
 
     out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = _stage_tmp(out)
     cols = df.columns
     if "max_tfnorm" not in cols:
         df = df.withColumn("max_tfnorm", F.lit(None).cast("double"))
@@ -232,7 +268,7 @@ def write_dict_segment_spark(df, out_dir: str | Path, *,
     src = (df.select("term", "df", "idf", "max_tfnorm")
            .repartitionByRange(n_parts, "term")
            .sortWithinPartitions("term"))
-    out_str = str(out)
+    out_str = str(tmp)  # tasks write into the staging dir, never `out`
 
     man_schema = ("file string, first_term string, last_term string, "
                   "n_terms long, n_blocks long, bytes long")
@@ -253,7 +289,7 @@ def write_dict_segment_spark(df, out_dir: str | Path, *,
 
     parts = [r.asDict() for r in
              src.mapInPandas(write_part, man_schema).collect()]
-    return _commit(out, parts, block_size)
+    return _commit(out, tmp, parts, block_size)
 
 
 def is_committed(seg_dir: str | Path) -> bool:

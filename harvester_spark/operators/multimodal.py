@@ -195,6 +195,13 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
     if mime in ("video/x-msvideo", "video/avi"):
         from harvester_spark.operators.avicodec import decode_avi_mjpeg
         frames, meta = decode_avi_mjpeg(payload)
+        if not frames:
+            # clean per-row error instead of np.stack([]) blowing up the
+            # whole Arrow partition on a degenerate-but-parseable container
+            raise ValueError("AVI payload contains no decodable frames")
+        if meta["width"] is None or meta["height"] is None:
+            meta = dict(meta, width=frames[0].shape[1],
+                        height=frames[0].shape[0])
         lum = np.stack([f.mean(axis=2) for f in frames])  # (n, h, w)
         diffs = (np.abs(np.diff(lum, axis=0)).mean()
                  if len(frames) > 1 else 0.0)
@@ -253,7 +260,8 @@ def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
 
 
 REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav",
-                     "image/jpeg", "image/png", "video/x-msvideo"}
+                     "image/jpeg", "image/png", "video/x-msvideo",
+                     "video/avi"}
 
 
 def extract_features(media: DataFrame, *,
@@ -365,25 +373,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from harvester_spark.operators.avicodec import decode_avi_mjpeg
+        from harvester_spark.operators.avicodec import (decode_avi_frames,
+                                                        probe_avi)
+        avi_mimes = ("video/x-msvideo", "video/avi")
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                real = (use_stub is False
-                        or (use_stub == "auto"
-                            and r.mime in REAL_DECODE_MIMES))
-                if real and r.mime not in REAL_DECODE_MIMES:
-                    decode_real(bytes(r.payload), r.mime)  # raises: honest
+                if use_stub is False and r.mime not in avi_mimes:
+                    # no decoder for this video mime: honest failure
+                    # (mirrors decode_real's declared-stub contract)
+                    decode_real(bytes(r.payload), r.mime)
+                real = (r.mime in avi_mimes and use_stub is not True)
+                n_frames = 0
                 if real:
-                    frames, meta = decode_avi_mjpeg(bytes(r.payload))
+                    payload = bytes(r.payload)
+                    meta = probe_avi(payload)
+                    n_frames = meta["n_frames"]
+                if real and n_frames:
                     fps = meta["fps"] or 25
-                    dur_ms = int(len(frames) * 1000 / fps)
+                    dur_ms = int(n_frames * 1000 / fps)
                     n_samp = max(1, dur_ms // every_ms)
-                    for fi in range(n_samp):
-                        src = min(int(fi * every_ms * fps / 1000),
-                                  len(frames) - 1)
+                    srcs = [min(int(fi * every_ms * fps / 1000),
+                                n_frames - 1) for fi in range(n_samp)]
+                    # decode ONLY the sampled frames — the JPEG entropy
+                    # decode dominates; a 25 fps clip sampled at 1 Hz
+                    # would otherwise decode 25x more than needed
+                    decoded = decode_avi_frames(payload, sorted(set(srcs)))
+                    for fi, src in enumerate(srcs):
                         sha = hashlib.sha256(
-                            frames[src].tobytes()).hexdigest()
+                            decoded[src].tobytes()).hexdigest()
                         rows.append((int(r.media_id), fi, fi * every_ms,
                                      sha))
                 else:

@@ -78,16 +78,30 @@ def _probe_buckets(planes: np.ndarray, query_vec: list[float],
                    n_probe_bits: int) -> list[int]:
     """Query bucket + all buckets within ``n_probe_bits`` bit flips."""
     from itertools import combinations
+    from math import comb
 
     q = np.asarray(query_vec, dtype=np.float64)
     n_planes = planes.shape[0]
     qbits = ((planes @ q) > 0).astype(np.int64)
     qbucket = int((qbits << np.arange(n_planes)).sum())
-    probes = {qbucket}
     # any radius up to n_planes (radius == n_planes probes every bucket —
     # the exact-anchor degenerate case); the old hand-rolled form silently
-    # capped at radius 2
-    for r in range(1, min(n_probe_bits, n_planes) + 1):
+    # capped at radius 2, which was a recall bug, but unbounded
+    # enumeration is a latency cliff instead (n_planes=24, radius 12 →
+    # ~2.7M combinations in a Python loop + a multi-MB isin list), so the
+    # probe count is bounded EXPLICITLY — loud beats silent either way
+    max_probes = 65_536
+    radius = min(n_probe_bits, n_planes)
+    total = sum(comb(n_planes, r) for r in range(radius + 1))
+    if total > max_probes and (1 << n_planes) > max_probes:
+        raise ValueError(
+            f"probe radius {radius} over {n_planes} planes enumerates "
+            f"{total:,} buckets (> {max_probes:,}); lower n_probe_bits or "
+            f"n_planes, or use the partition-pruned index path")
+    if total >= (1 << n_planes):
+        return list(range(1 << n_planes))  # full probe: every bucket
+    probes = {qbucket}
+    for r in range(1, radius + 1):
         for combo in combinations(range(n_planes), r):
             b = qbucket
             for i in combo:

@@ -310,3 +310,60 @@ def test_avi_real_features_and_frame_sampling(spark, media):
     assert len(mine) >= 1
     want_sha = hashlib.sha256(frames[0].tobytes()).hexdigest()
     assert mine.iloc[0]["frame_sha256"] == want_sha
+
+
+def test_avi_rec_list_and_selective_decode():
+    """Frames inside the common 'LIST rec' grouping must be found, and
+    decode_avi_frames must decode only the requested indices."""
+    import struct
+
+    import numpy as np
+
+    from harvester_spark.operators.avicodec import (decode_avi_frames,
+                                                    decode_avi_mjpeg,
+                                                    encode_avi_mjpeg,
+                                                    probe_avi)
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    frames = [np.repeat(np.repeat(base + 10 * i, 8, axis=0), 8, axis=1)
+              .astype(np.uint8) for i in range(3)]
+    avi = bytearray(encode_avi_mjpeg(frames, fps=10))
+
+    # rewrap the movi payload chunks inside a LIST rec (in place):
+    # find movi, then wrap its chunk run
+    i = avi.find(b"LIST", 12)
+    while avi[i + 8:i + 12] != b"movi":
+        i = avi.find(b"LIST", i + 1)
+    (movi_sz,) = struct.unpack_from("<I", avi, i + 4)
+    inner = bytes(avi[i + 12:i + 8 + movi_sz])
+    rec = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"rec " + inner
+    rewrapped = (bytes(avi[:i + 8]) + b"movi" + rec + bytes(avi[i + 8 + movi_sz:]))
+    rewrapped = bytearray(rewrapped)
+    struct.pack_into("<I", rewrapped, i + 4, 4 + len(rec))
+    struct.pack_into("<I", rewrapped, 4, len(rewrapped) - 8)
+    rewrapped = bytes(rewrapped)
+
+    meta = probe_avi(rewrapped)
+    assert meta["n_frames"] == 3, meta
+    out, _ = decode_avi_mjpeg(rewrapped)
+    assert len(out) == 3
+
+    sel = decode_avi_frames(bytes(avi), [0, 2])
+    assert sorted(sel) == [0, 2]
+    ref, _ = decode_avi_mjpeg(bytes(avi))
+    assert (sel[2] == ref[2]).all()
+
+
+def test_avi_degenerate_payload_clean_error():
+    from harvester_spark.operators.avicodec import probe_avi
+    from harvester_spark.operators.multimodal import decode_real
+
+    # parseable RIFF with an empty movi list
+    import struct
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert probe_avi(payload)["n_frames"] == 0
+    with pytest.raises(ValueError, match="no decodable frames"):
+        decode_real(payload, "video/x-msvideo")
