@@ -1338,6 +1338,24 @@ ORDER BY l_returnflag, l_linestatus
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    def embedding_neardup_pairs(spark, sf):
+        # the synthetic embeddings have no natural pairs above 0.8, so
+        # re-ingest the first 20 vectors under shifted ids (cosine 1.0 —
+        # identical in both engines, no float-boundary risk) and run the
+        # bucketed self-join; identical vectors share buckets
+        # deterministically, so LSH recall is exactly 1 here
+        from harvester_spark.operators.similarity import (
+            embedding_near_dup_pairs)
+        emb = _emb(spark, sf).select("vec_id", "embedding")
+        copies = (emb.filter(F.col("vec_id") < 20)
+                  .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                          "embedding"))
+        pairs = embedding_near_dup_pairs(emb.unionByName(copies),
+                                         threshold=0.95)
+        return pairs.select("id_a", "id_b",
+                            _x10k(F.col("cosine")).alias("cos_x10k"))
+    q["embedding_neardup_pairs"] = embedding_neardup_pairs
+
     def exact_dup_members(spark, sf):
         # the corpus has no byte-identical docs at driver SF, so synthesize
         # a deterministic dup set (first 50 docs re-ingested under shifted
@@ -1453,6 +1471,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    o["embedding_neardup_pairs"] = f"""
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.embedding, b.embedding) AS c
+  FROM src a JOIN src b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, {X10K.format(v='c')} AS cos_x10k
+FROM p WHERE c >= 0.95
+"""
 
     o["exact_dup_members"] = """
 WITH src AS (
