@@ -743,13 +743,6 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
                .withColumn("status", F.lit("complete")))
         tables.write_table(lin, out)
 
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [ex.submit(stage, "term_ub", s5b),
-                ex.submit(stage, "lineage", s6)]
-        for f in futs:
-            f.result()
-
     # S7 — front-coded dictionary segment: interactive term lookup with
     # driver memory = leaders only (1/128th of terms), no hash-map cap.
     # Written DISTRIBUTED (range-partitioned part files + driver manifest):
@@ -776,7 +769,19 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
             write_dict_segment(rows, out)
         else:
             write_dict_segment_spark(joined, out, n_terms=n_terms)
-    if cfg.build_dictseg:
-        stage("dictseg", s7)
+
+    # term_ub → dictseg is a chain (the segment folds max_tfnorm), but the
+    # chain runs CONCURRENTLY with lineage — all three are small
+    # metadata-sized jobs dominated by fixed per-job overhead
+    def _ub_then_seg() -> None:
+        stage("term_ub", s5b)
+        if cfg.build_dictseg:
+            stage("dictseg", s7)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_ub_then_seg), ex.submit(stage, "lineage", s6)]
+        for f in futs:
+            f.result()
 
     return report
