@@ -341,11 +341,28 @@ class _Part:
             prev = term
             yield term, df, idf, mt
 
-    def get(self, tb: bytes) -> dict | None:
+    def get(self, tb: bytes, cache: "dict | None" = None) -> dict | None:
         bi = bisect_right(self.leaders, tb) - 1
         if bi < 0:
             return None
-        for t, df, idf, mt in self.block(bi):
+        if cache is None:
+            entries = self.block(bi)
+        else:
+            # decoded-block LRU (shared across parts, owned by the
+            # DictSegment): serving workloads repeat hot terms, and a
+            # cached block turns the per-entry varint loop into one list
+            # scan. OrderedDict move_to_end keeps it a true LRU.
+            key = (id(self), bi)
+            ents = cache.get(key)
+            if ents is None:
+                ents = list(self.block(bi))
+                cache[key] = ents
+                while len(cache) > _BLOCK_CACHE_MAX:
+                    cache.popitem(last=False)
+            else:
+                cache.move_to_end(key)
+            entries = ents
+        for t, df, idf, mt in entries:
             if t == tb:
                 return {"df": df, "idf": idf,
                         "max_tfnorm": None if mt != mt else mt}
@@ -354,14 +371,23 @@ class _Part:
         return None
 
 
+# decoded blocks held by a DictSegment's LRU: 4096 blocks × block_size
+# entries ≈ 0.5M hot terms resident, a few tens of MB — sized for a
+# serving node's hot vocabulary
+_BLOCK_CACHE_MAX = 4096
+
+
 class DictSegment:
     """Multi-part reader: bisect part first-terms, then the part's block
-    leaders, then one linear block decode."""
+    leaders, then one linear block decode (hot blocks LRU-cached)."""
 
     def __init__(self, seg_dir: str | Path):
+        from collections import OrderedDict
+
         d = Path(seg_dir)
         man = json.loads((d / MANIFEST).read_text())
         self.n_terms = man["n_terms"]
+        self._block_cache: OrderedDict = OrderedDict()
         entries = man["parts"]
         self._dir = d
         self._files = [p["file"] for p in entries]
@@ -402,7 +428,7 @@ class DictSegment:
         pi = bisect_right(self._firsts, tb) - 1
         if pi < 0:
             return None
-        return self._part(pi).get(tb)
+        return self._part(pi).get(tb, cache=self._block_cache)
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         """Same contract as ``IndexHandle.lookup``: present terms only."""
