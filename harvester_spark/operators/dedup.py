@@ -42,6 +42,15 @@ def _perm_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]
     return a, b
 
 
+def _sha_projection(docs: DataFrame, content_col: str,
+                    id_col: str) -> DataFrame:
+    """(doc_id, content_sha256) — the shared input of both exact-dedup
+    shapes."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("content_sha256"))
+
+
 def exact_duplicates(docs: DataFrame, *, content_col: str = "content",
                      id_col: str = "doc_id",
                      sample_cap: int = 1000) -> DataFrame:
@@ -59,11 +68,8 @@ def exact_duplicates(docs: DataFrame, *, content_col: str = "content",
     :func:`exact_duplicate_members`."""
     from pyspark.sql import Window
 
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.sha2(F.col(content_col), 256).alias("content_sha256"))
     w = Window.partitionBy("content_sha256").orderBy("doc_id")
-    return (hashed
+    return (_sha_projection(docs, content_col, id_col)
             .withColumn("rn", F.row_number().over(w))
             .groupBy("content_sha256")
             .agg(F.count("*").alias("n_dups"),
@@ -86,11 +92,8 @@ def exact_duplicate_members(docs: DataFrame, *, content_col: str = "content",
     one shuffle (window over the sha key)."""
     from pyspark.sql import Window
 
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.sha2(F.col(content_col), 256).alias("content_sha256"))
     w = Window.partitionBy("content_sha256")
-    return (hashed
+    return (_sha_projection(docs, content_col, id_col)
             .withColumn("keep_id", F.min("doc_id").over(w))
             .withColumn("n_dups", F.count("*").over(w))
             .filter(F.col("n_dups") > 1))

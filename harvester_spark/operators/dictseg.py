@@ -174,27 +174,22 @@ class _PartEncoder:
 
 
 def _stage_tmp(out: Path) -> Path:
-    """Fresh staging dir ``<out>.__tmp__`` — the same crash-atomicity
-    pattern as ``tables.write_table``: everything (parts AND manifest) is
-    built here, then swapped over ``out`` in one rename. Writing parts
-    straight into a previously-committed ``out`` would leave NEW part
-    files under the OLD manifest + success marker after a mid-write crash,
-    and the resumed build would silently serve mismatched lookups."""
-    import shutil
+    """Staging dir for the atomic dir swap (``tables.stage_tmp_dir``):
+    everything (parts AND manifest) is built here, then swapped over
+    ``out`` in one rename. Writing parts straight into a previously-
+    committed ``out`` would leave NEW part files under the OLD manifest +
+    success marker after a mid-write crash, and the resumed build would
+    silently serve mismatched lookups."""
+    from harvester_spark.tables import stage_tmp_dir
 
-    tmp = Path(str(out) + ".__tmp__")
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    tmp.mkdir(parents=True)
-    return tmp
+    return stage_tmp_dir(out)
 
 
 def _commit(out: Path, tmp: Path, parts: list[dict],
             block_size: int) -> dict:
     """Validate part ordering, write manifest into ``tmp``, swap dirs,
     touch the success marker."""
-    import os
-    import shutil
+    from harvester_spark.tables import replace_dir
 
     parts = [p for p in parts if p["n_terms"]]
     parts.sort(key=lambda p: p["first_term"])
@@ -206,9 +201,7 @@ def _commit(out: Path, tmp: Path, parts: list[dict],
     n_terms = sum(p["n_terms"] for p in parts)
     (tmp / MANIFEST).write_text(json.dumps(
         {"block_size": block_size, "n_terms": n_terms, "parts": parts}))
-    if out.exists():
-        shutil.rmtree(out)
-    os.rename(tmp, out)
+    replace_dir(tmp, out)
     (out / SUCCESS_MARKER).touch()
     return {"n_terms": n_terms,
             "n_blocks": sum(p["n_blocks"] for p in parts),
@@ -242,7 +235,8 @@ def write_dict_segment(rows: Iterable, out_dir: str | Path, *,
 def write_dict_segment_spark(df, out_dir: str | Path, *,
                              block_size: int = 128,
                              terms_per_part: int = 65_536,
-                             n_terms: int | None = None) -> dict:
+                             n_terms: int | None = None,
+                             small_threshold: int = 100_000) -> dict:
     """Distributed writer: each task encodes one term range into its own
     part file (shared filesystem, like every other stage commit); the
     driver only validates ranges and writes the manifest.
@@ -250,18 +244,28 @@ def write_dict_segment_spark(df, out_dir: str | Path, *,
     ``df``: DataFrame with term/df/idf/max_tfnorm columns (max_tfnorm
     optional). One narrow range-shuffle; encode is per-task CPU.
     ``n_terms``: pass the (approximate is fine — it only sizes parts)
-    term count when the caller knows it, to skip a count() job."""
+    term count when the caller knows it, to skip a count() job.
+
+    Below ``small_threshold`` terms the writer itself drops to ONE bounded
+    collect + a driver sort/encode — Spark job overhead (range sampling,
+    shuffle, python-worker spawn) dominates there by ~0.5 s. Python str
+    sort is code-point order == Spark's UTF-8 byte order, so the segment
+    binary-searches identically."""
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
     out = Path(out_dir)
     out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = _stage_tmp(out)
     cols = df.columns
     if "max_tfnorm" not in cols:
         df = df.withColumn("max_tfnorm", F.lit(None).cast("double"))
     n_terms_est = n_terms if n_terms is not None else df.count()
+    if n_terms_est <= small_threshold:
+        rows = sorted(((r["term"], r["df"], r["idf"], r["max_tfnorm"])
+                       for r in df.collect()), key=lambda t: t[0])
+        return write_dict_segment(rows, out, block_size=block_size)
+    tmp = _stage_tmp(out)
     n_parts = max(1, min(1024,
                          (n_terms_est + terms_per_part - 1)
                          // terms_per_part))

@@ -749,26 +749,17 @@ def build_index(spark: SparkSession, docs: DataFrame, index_dir: str | Path, *,
     # a driver-streamed writer is a serial ~300k terms/s stage — 53 min at
     # 10^9 terms and an Amdahl drag on build scaling at any size.
     def s7(out: Path) -> None:
-        from harvester_spark.operators.dictseg import (write_dict_segment,
-                                                       write_dict_segment_spark)
+        from harvester_spark.operators.dictseg import write_dict_segment_spark
         ub_table = tables.read_table(spark, index_dir / "term_ub")
         # part sizing from a metadata-only parquet count (term_ub is one
-        # row per term) — counting the join would run the join twice
+        # row per term) — counting the join would run the join twice; the
+        # writer itself picks driver vs distributed encode from n_terms
         n_terms = ub_table.count()
-        joined = (dictionary.join(ub_table.select("term", "max_tfnorm"),
-                                  "term", "left")
-                  .select("term", "df", "idf", "max_tfnorm"))
-        if n_terms <= 100_000:
-            # small-dictionary fast path: ONE collect (bounded ~10 MB) +
-            # driver sort/encode beats a range shuffle + python-worker
-            # spawn by ~0.5 s — Spark job overhead dominates below ~10^5
-            # terms. Python str sort is code-point order == Spark's UTF-8
-            # byte order, so the segment binary-searches identically.
-            rows = sorted(((r["term"], r["df"], r["idf"], r["max_tfnorm"])
-                           for r in joined.collect()), key=lambda t: t[0])
-            write_dict_segment(rows, out)
-        else:
-            write_dict_segment_spark(joined, out, n_terms=n_terms)
+        write_dict_segment_spark(
+            dictionary.join(ub_table.select("term", "max_tfnorm"),
+                            "term", "left")
+            .select("term", "df", "idf", "max_tfnorm"),
+            out, n_terms=n_terms)
 
     # term_ub → dictseg is a chain (the segment folds max_tfnorm), but the
     # chain runs CONCURRENTLY with lineage — all three are small

@@ -192,7 +192,7 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
      8-bin brightness histogram, 1 zero]
     MP4 requires ffmpeg-class demuxing — still a declared stub — and
     raises NotImplementedError by design."""
-    if mime in ("video/x-msvideo", "video/avi"):
+    if mime in AVI_MIMES:
         from harvester_spark.operators.avicodec import decode_avi_mjpeg
         frames, meta = decode_avi_mjpeg(payload)
         if not frames:
@@ -259,9 +259,9 @@ def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
     return ((raw % 10_000) / 10_000.0).astype(np.float32)
 
 
+AVI_MIMES = ("video/x-msvideo", "video/avi")
 REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav",
-                     "image/jpeg", "image/png", "video/x-msvideo",
-                     "video/avi"}
+                     "image/jpeg", "image/png", *AVI_MIMES}
 
 
 def extract_features(media: DataFrame, *,
@@ -310,7 +310,7 @@ def resize_images(media: DataFrame, width: int, height: int,
     metadata (real kernel = Pillow/ffmpeg drop-in). Binary-in/binary-out
     UDF shape either way."""
     imgs = media.filter(F.col("mime").startswith("image/")
-                        | F.col("mime").isin("video/x-msvideo", "video/avi"))
+                        | F.col("mime").isin(*AVI_MIMES))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from harvester_spark.operators.jpegcodec import (decode_jpeg,
@@ -326,7 +326,7 @@ def resize_images(media: DataFrame, width: int, height: int,
                 from harvester_spark.operators.pngcodec import (
                     decode_png, encode_png)
                 for p, m in zip(out["payload"], out["mime"]):
-                    if m in ("video/x-msvideo", "video/avi"):
+                    if m in AVI_MIMES:
                         frames, meta = decode_avi_mjpeg(bytes(p))
                         payloads.append(bytearray(encode_avi_mjpeg(
                             [box_resize(f, width, height) for f in frames],
@@ -375,15 +375,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from harvester_spark.operators.avicodec import (decode_avi_frames,
                                                         probe_avi)
-        avi_mimes = ("video/x-msvideo", "video/avi")
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if use_stub is False and r.mime not in avi_mimes:
+                if use_stub is False and r.mime not in AVI_MIMES:
                     # no decoder for this video mime: honest failure
                     # (mirrors decode_real's declared-stub contract)
                     decode_real(bytes(r.payload), r.mime)
-                real = (r.mime in avi_mimes and use_stub is not True)
+                real = (r.mime in AVI_MIMES and use_stub is not True)
                 n_frames = 0
                 if real:
                     payload = bytes(r.payload)

@@ -26,6 +26,24 @@ def is_committed(path: str | Path) -> bool:
     return (Path(path) / SUCCESS_MARKER).exists()
 
 
+def stage_tmp_dir(path: str | Path) -> Path:
+    """Fresh ``<path>.__tmp__`` staging dir for an atomic dir swap."""
+    tmp = Path(str(path) + ".__tmp__")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    return tmp
+
+
+def replace_dir(tmp: Path, path: Path) -> None:
+    """Atomically publish a fully-built staging dir over ``path`` — the
+    crash-safety primitive behind every stage commit (a crash mid-build
+    never leaves partial output behind a valid success marker)."""
+    if path.exists():
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def write_table(df: DataFrame, path: str | Path, *, sort_cols: list[str] | None = None,
                 meta: dict | None = None, compression: str | None = None) -> None:
     """Atomically materialize ``df`` as a parquet table at ``path``.
@@ -49,9 +67,7 @@ def write_table(df: DataFrame, path: str | Path, *, sort_cols: list[str] | None 
     if compression is not None:
         w = w.option("compression", compression)
     w.parquet(str(tmp))
-    if path.exists():
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    replace_dir(tmp, path)
     if meta is not None:
         (path / "_table_meta.json").write_text(json.dumps(meta, indent=2))
     (path / SUCCESS_MARKER).touch()

@@ -119,7 +119,8 @@ def test_distributed_writer_matches_driver_writer(spark, tmp_path):
                                      "max_tfnorm double")
     d2 = tmp_path / "spark"
     info = write_dict_segment_spark(df.orderBy(F.rand(seed=1)), d2,
-                                    block_size=16, terms_per_part=500)
+                                    block_size=16, terms_per_part=500,
+                                    small_threshold=0)
     assert info["n_terms"] == len(terms)
     assert info["n_parts"] > 1, "want a real multi-part segment"
     assert is_committed(d2)
