@@ -56,3 +56,31 @@ def test_jpeg_bit_accumulators_stay_small():
         r.read_bit()
     assert r.acc < (1 << 16), "reader acc not truncated after refill"
     assert len(data) > 4000
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=60))
+def test_avi_roundtrip_property(wcells, hcells, n_frames, fps):
+    """Random geometry/fps/frame-count MJPEG-AVIs demux back to the same
+    frame count, dims, and near-identical pixels (8x8-aligned content)."""
+    from harvester_spark.operators.avicodec import (decode_avi_mjpeg,
+                                                    encode_avi_mjpeg,
+                                                    probe_avi)
+
+    rng = np.random.default_rng(wcells * 100 + hcells * 10 + n_frames)
+    base = rng.integers(0, 256, (hcells, wcells, 3), dtype=np.uint8)
+    frames = [np.repeat(np.repeat(
+        np.clip(base.astype(np.int32) + 5 * i, 0, 255).astype(np.uint8),
+        8, axis=0), 8, axis=1) for i in range(n_frames)]
+    avi = encode_avi_mjpeg(frames, fps=fps)
+    meta = probe_avi(avi)
+    assert meta["n_frames"] == n_frames
+    assert (meta["width"], meta["height"]) == (wcells * 8, hcells * 8)
+    out, _ = decode_avi_mjpeg(avi)
+    assert len(out) == n_frames
+    for a, b in zip(frames, out):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
