@@ -563,6 +563,21 @@ def build_index_from_rows(spark: SparkSession, rows: DataFrame,
            .withColumn("status", F.lit("complete")))
     tables.write_table(lin, index_dir / "lineage")
 
+    # compacted bases serve interactive queries like any other index —
+    # they get the front-coded dictionary segment too (without it the
+    # handle silently degrades to the capped hash-map tier)
+    if cfg.build_dictseg:
+        from harvester_spark.operators.dictseg import write_dict_segment_spark
+        # read the just-committed tables back (recomputing `dic` would
+        # re-run the rows aggregation over the now-unpersisted lineage)
+        dic_t = tables.read_table(spark, index_dir / "dictionary")
+        ub_t = (tables.read_table(spark, index_dir / "term_ub")
+                .select("term", "max_tfnorm"))
+        write_dict_segment_spark(
+            dic_t.join(ub_t, "term", "left")
+            .select("term", "df", "idf", "max_tfnorm"),
+            index_dir / "dictseg")
+
 
 # --------------------------------------------------------------------------
 # Orchestration: resumable staged build with lineage
