@@ -136,19 +136,22 @@ def main() -> None:
                 .agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
                      F.count("*")).collect())
 
+    # dedup ops run LAST: their bucket-drop watcher launches a small
+    # background accounting job right after the timed count() completes,
+    # which would otherwise overlap (and inflate) the next timed query
     suite = {
         "bm25_wand_common": q_wand_common,
         "bm25_wand_multi": q_wand_multi,
         "bm25_wand_and": q_wand_and,
         "bm25_local_20q": q_local_serving,
         "bm25_dataframe": q_df_scorer,
-        "minhash_lsh_dedup": q_minhash,
-        "simhash_dedup": q_simhash,
         "cosine_topk": q_cosine,
         "ann_index_topk": q_ann,
         "ivfpq_topk": q_ivfpq,
         "quality_scores": q_quality,
         "pricing_summary": q_pricing,
+        "minhash_lsh_dedup": q_minhash,
+        "simhash_dedup": q_simhash,
     }
 
     timings: dict[str, float] = {}
