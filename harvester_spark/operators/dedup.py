@@ -131,8 +131,15 @@ def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
     """(doc_id, sig array<long>) — 64 permuted min-hashes, all JVM-side.
 
     One explode + one groupBy; the 64 permutations are 64 aggregate
-    expressions over the same shuffled rows, so the shuffle volume is the
-    shingle count, not shingles × permutations.
+    expressions over the same shuffled rows (map-side partial min), so
+    the shuffle volume is the shingle count, not shingles × permutations.
+
+    A zero-shuffle per-row form (bound shingle-hash array + 64 array_min
+    HOF passes) was A/B'd interleaved at sf0.1 and LOST (best 2.57 s vs
+    2.30 s full-pipeline): higher-order functions run interpreted per
+    element, and 64 passes × ~200 shingles of interpreted pmod/multiply
+    costs more than shuffling the shingle rows into whole-stage-codegen'd
+    min aggregates — the shuffle was partial-aggregated map-side anyway.
     """
     a, b = _perm_params(num_hashes, seed)
     sh = (docs.select(F.col(id_col).alias("doc_id"),
