@@ -94,13 +94,22 @@ def main() -> None:
         return query_topk_dataframe(docs, "query data join", 10,
                                     content_col="text").collect()
 
+    # with_metrics=True and counting only the pair side: the metrics frame
+    # stays lazy (never computed), and no bucket-drop watcher thread is
+    # attached — with_metrics=False would launch the watcher's background
+    # accounting job right after the timed count(), overlapping the next
+    # timed query. The counted candidate DAG is identical either way.
     def q_minhash(s):
-        return minhash_lsh_pairs(docs, content_col="text",
-                                 jaccard_threshold=0.7).count()
+        pairs, _metrics = minhash_lsh_pairs(docs, content_col="text",
+                                            jaccard_threshold=0.7,
+                                            with_metrics=True)
+        return pairs.count()
 
     def q_simhash(s):
-        return simhash_near_pairs(docs, content_col="text",
-                                  max_hamming=3).count()
+        pairs, _metrics = simhash_near_pairs(docs, content_col="text",
+                                             max_hamming=3,
+                                             with_metrics=True)
+        return pairs.count()
 
     def q_cosine(s):
         return cosine_topk(emb, qv, 10).collect()

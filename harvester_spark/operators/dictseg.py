@@ -243,8 +243,11 @@ def write_dict_segment_spark(df, out_dir: str | Path, *,
 
     ``df``: DataFrame with term/df/idf/max_tfnorm columns (max_tfnorm
     optional). One narrow range-shuffle; encode is per-task CPU.
-    ``n_terms``: pass the (approximate is fine — it only sizes parts)
-    term count when the caller knows it, to skip a count() job.
+    ``n_terms``: pass the term count when the caller has it cheaply (e.g.
+    a parquet-metadata count of the one-row-per-term table) to skip a
+    count() job. It sizes parts and PRE-gates the small-dictionary path,
+    but the driver collect below is self-guarding (limit N+1), so an
+    underestimate cannot pull a huge dictionary onto the driver.
 
     Below ``small_threshold`` terms the writer itself drops to ONE bounded
     collect + a driver sort/encode — Spark job overhead (range sampling,
@@ -262,9 +265,15 @@ def write_dict_segment_spark(df, out_dir: str | Path, *,
         df = df.withColumn("max_tfnorm", F.lit(None).cast("double"))
     n_terms_est = n_terms if n_terms is not None else df.count()
     if n_terms_est <= small_threshold:
-        rows = sorted(((r["term"], r["df"], r["idf"], r["max_tfnorm"])
-                       for r in df.collect()), key=lambda t: t[0])
-        return write_dict_segment(rows, out, block_size=block_size)
+        # limit N+1: a wrong n_terms estimate can't collect an unbounded
+        # dictionary — one extra row proves the estimate low and we fall
+        # through to the distributed encode instead
+        got = df.limit(small_threshold + 1).collect()
+        if len(got) <= small_threshold:
+            rows = sorted(((r["term"], r["df"], r["idf"], r["max_tfnorm"])
+                           for r in got), key=lambda t: t[0])
+            return write_dict_segment(rows, out, block_size=block_size)
+        n_terms_est = max(n_terms_est, df.count())
     tmp = _stage_tmp(out)
     n_parts = max(1, min(1024,
                          (n_terms_est + terms_per_part - 1)
@@ -345,7 +354,8 @@ class _Part:
             prev = term
             yield term, df, idf, mt
 
-    def get(self, tb: bytes, cache: "dict | None" = None) -> dict | None:
+    def get(self, tb: bytes, cache: "dict | None" = None,
+            cache_key: int | None = None) -> dict | None:
         bi = bisect_right(self.leaders, tb) - 1
         if bi < 0:
             return None
@@ -355,8 +365,10 @@ class _Part:
             # decoded-block LRU (shared across parts, owned by the
             # DictSegment): serving workloads repeat hot terms, and a
             # cached block turns the per-entry varint loop into one list
-            # scan. OrderedDict move_to_end keeps it a true LRU.
-            key = (id(self), bi)
+            # scan. Keyed by the caller's STABLE part index (id(self)
+            # would alias across close()/reopen when CPython reuses a
+            # freed object address). OrderedDict move_to_end = true LRU.
+            key = (cache_key, bi)
             ents = cache.get(key)
             if ents is None:
                 ents = list(self.block(bi))
@@ -414,6 +426,7 @@ class DictSegment:
             if p is not None:
                 p.close()
         self._parts = [None] * len(self._files)
+        self._block_cache.clear()  # decoded blocks die with their parts
 
     @property
     def leaders(self) -> list[bytes]:
@@ -432,7 +445,7 @@ class DictSegment:
         pi = bisect_right(self._firsts, tb) - 1
         if pi < 0:
             return None
-        return self._part(pi).get(tb, cache=self._block_cache)
+        return self._part(pi).get(tb, cache=self._block_cache, cache_key=pi)
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         """Same contract as ``IndexHandle.lookup``: present terms only."""

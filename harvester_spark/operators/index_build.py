@@ -576,7 +576,9 @@ def build_index_from_rows(spark: SparkSession, rows: DataFrame,
         write_dict_segment_spark(
             dic_t.join(ub_t, "term", "left")
             .select("term", "df", "idf", "max_tfnorm"),
-            index_dir / "dictseg")
+            index_dir / "dictseg",
+            # metadata-only count — counting the join would run it twice
+            n_terms=dic_t.count())
 
 
 # --------------------------------------------------------------------------

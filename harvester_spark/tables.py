@@ -58,9 +58,7 @@ def write_table(df: DataFrame, path: str | Path, *, sort_cols: list[str] | None 
     ratio for speed (lz4/uncompressed); durable tables keep the default.
     """
     path = Path(path)
-    tmp = Path(str(path) + ".__tmp__")
-    if tmp.exists():
-        shutil.rmtree(tmp)
+    tmp = stage_tmp_dir(path)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     w = df.write.mode("overwrite")
