@@ -23,7 +23,7 @@ Layout (``manifest.json`` + one or more part files)::
 Two writers, one reader:
 
 - :func:`write_dict_segment` — driver-streamed single part. Right below
-  ~10^6 terms, where a Spark job is all overhead.
+  ~10^5 terms (``small_threshold``), where a Spark job is all overhead.
 - :func:`write_dict_segment_spark` — DISTRIBUTED: range-repartition on
   term, each task front-codes its range into its own part file, driver
   writes only the tiny manifest. This is the scale path: the driver-
