@@ -133,3 +133,20 @@ def test_distributed_writer_matches_driver_writer(spark, tmp_path):
         assert s2.get(t + "zz") is None
     s1.close()
     s2.close()
+
+
+def test_close_reopen_serves_fresh_blocks(tmp_path):
+    """Regression: the decoded-block LRU must not serve stale entries
+    after close()/reopen (old id()-keyed cache could alias a freed part's
+    address); close clears the cache and lookups stay correct."""
+    terms = sorted(f"term{i:04d}" for i in range(500))
+    rows = _rows(terms)
+    write_dict_segment(rows, tmp_path, block_size=8)
+    seg = DictSegment(tmp_path)
+    before = {t: seg.get(t) for t, *_ in rows[:50]}
+    assert len(seg._block_cache) > 0
+    seg.close()
+    assert len(seg._block_cache) == 0
+    after = {t: seg.get(t) for t, *_ in rows[:50]}  # lazily reopens
+    assert after == before
+    seg.close()
