@@ -114,7 +114,8 @@ def _movi_frame_chunks(buf: bytes, pos: int, end: int):
 def probe_avi(payload: bytes) -> dict:
     """Container metadata without decoding frames: {n_frames, width,
     height, fps, frame_sizes}."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     meta = {"n_frames": 0, "width": None, "height": None, "fps": None,
             "frame_sizes": []}
@@ -149,7 +150,8 @@ def decode_avi_frames(payload: bytes,
     dominant cost) runs just for the selected frames — sampling one frame
     per second of a 25 fps clip decodes 1/25th of the container instead
     of all of it. ``indices=None`` decodes every frame."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     want = None if indices is None else set(indices)
     end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
