@@ -235,3 +235,22 @@ def test_local_serving_hot_term_auto_fallback(spark, index_dir, oracle):
     h2._term_postings = _spy
     got2 = h2.topk_local(q, k, local_postings_cap=0)
     assert_rank_identical(got2, want, "warm-cache-under-cap")
+
+
+def test_pruning_metrics_deterministic_across_runs(spark, index_dir):
+    """r3 ADVICE: the theta-seed cap used .limit() on an unordered
+    semi-join, making skip ratios vary run-to-run. The cap now takes the
+    highest-UB blocks deterministically — identical metrics on repeat."""
+    for q, mode in (("import def", "and"), ("import ident_3", "or")):
+        runs = []
+        for _ in range(2):
+            m = {}
+            rows = query_topk_index(spark, index_dir, q, 10, mode=mode,
+                                    prune_min_postings=0,
+                                    small_query_postings=0,
+                                    refine_min_postings=0,
+                                    range_docs=2048,
+                                    metrics_out=m).collect()
+            runs.append((m.get("blocks_scored"), m.get("blocks_total"),
+                         [(r.doc_id, round(r.score, 9)) for r in rows]))
+        assert runs[0] == runs[1], (q, mode, runs)
