@@ -237,7 +237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates; at driver SF the corpus's similarity gap (pairs are
         # either >=0.8 or <0.5) makes banded recall deterministically 1,
         # so the output equals DuckDB's exhaustive shingle-join (asserted
-        # in tests/test_dedup.py against the exhaustive pair set)
+        # in tests/test_dedup.py against the exhaustive pair set).
+        # Component-complete: byte-identical docs collapse to star pairs
+        # (jaccard 1.0) around a representative, mirrored in the oracle.
         return (minhash_lsh_pairs(_docs(spark, sf), content_col="text",
                                   jaccard_threshold=0.7)
                 .select("doc_a", "doc_b",
@@ -840,9 +842,18 @@ FROM sh CROSS JOIN probe WHERE sh.doc_id > 0 AND sh.doc_id < 200
 
     # exhaustive pairwise Jaccard via an inverted shingle join — the
     # corpus's similarity gap (>=0.8 or <0.5) makes LSH recall 1, so the
-    # Spark LSH+verify output equals this exact computation
+    # Spark LSH+verify output equals this exact computation. Byte-identical
+    # docs mirror the Spark op's rep-collapse (component-complete output):
+    # members emit (rep, member) star pairs at jaccard exactly 1.0, and the
+    # exhaustive join runs over representatives only.
     o["minhash_pairs"] = f"""
-WITH sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM documents),
+WITH grp AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents),
+star AS (
+  SELECT rep AS doc_a, doc_id AS doc_b, 1.0::DOUBLE AS jac
+  FROM grp WHERE doc_id <> rep AND len({DOC_TOKS}) > 0),
+sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM grp WHERE doc_id = rep),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -852,9 +863,10 @@ j AS (
   SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i) AS jac
   FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b)
-SELECT doc_a, doc_b, {X10K.format(v='jac')} AS jaccard_x10k
-FROM j WHERE jac >= 0.7
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+  UNION ALL SELECT doc_a, doc_b, jac FROM star)
+SELECT doc_a, doc_b, {X10K.format(v='jac')} AS jaccard_x10k FROM j
 """
 
     # simhash on the md5-prefix token hash (bit-identical to Spark's

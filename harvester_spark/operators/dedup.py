@@ -153,6 +153,32 @@ def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
                       .alias("sig"))
 
 
+def _capped_bucket_agg(rows: DataFrame, key_cols: list[str], order_col: str,
+                       collect_expr, collect_alias: str,
+                       max_bucket: int) -> DataFrame:
+    """Bucket aggregation whose collect_list buffer is bounded BEFORE the
+    aggregation ever materializes it.
+
+    A plain ``groupBy(key).agg(collect_list(...))`` builds the full member
+    array in the agg buffer even when a downstream ``sz <= max_bucket``
+    filter discards it — a 10^7-member boilerplate bucket is sixteen
+    ~GB array cells on one reducer before the guard runs (r4 verdict #1).
+    Same fix as :func:`exact_duplicates`: ``row_number()`` over the bucket
+    key (same shuffle partitioning — no extra exchange) caps what
+    ``collect_list`` ever sees at ``max_bucket + 1`` entries (the +1 keeps
+    an over-cap witness in the array itself), while ``sz`` stays the EXACT
+    count over all rows so the drop metrics are uncapped."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (rows.withColumn("__rn", F.row_number().over(w))
+            .groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list(
+                     F.when(F.col("__rn") <= max_bucket + 1, collect_expr)))
+                 .alias(collect_alias),
+                 F.count("*").alias("sz")))
+
+
 def _bucket_drop_metrics(buckets_sized: DataFrame, max_bucket: int,
                          key_cols: list[str]) -> DataFrame:
     """One-row accounting of buckets dropped by the ``max_bucket`` guard.
@@ -246,33 +272,75 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     ``with_metrics=True`` to also receive a one-row DataFrame counting
     dropped buckets/doc-entries. If ``jaccard_threshold`` is set the
     candidates are exactly verified with true shingle-set Jaccard.
+
+    BYTE-IDENTICAL documents collapse to one representative (min doc_id)
+    BEFORE banding, mirroring :func:`simhash_near_pairs`' star collapse:
+    identical content ⇒ identical signature ⇒ the whole group lands in all
+    ``bands`` buckets, so a boilerplate file duplicated 10^7× would
+    otherwise put sixteen 10^7-member groups on one reducer AND emit
+    O(m²) pairs. The collapse rides the signature table (sha2 attached by
+    a small doc_id join — no extra corpus-wide shuffle): members emit
+    (rep, member) "star" pairs with jaccard EXACTLY 1.0 (byte identity),
+    banding then runs over representatives only, so pathological groups
+    cost O(m) and cross-group edges attach to the representative.
+    Consequence for callers: the pair list is COMPONENT-complete, not
+    edge-complete — feed it :func:`connected_components` /
+    :func:`dedup_keep_decisions`, whose output is unchanged by the
+    collapse (any cross-cluster edge exists for all members iff it exists
+    for the representative, since members are byte-identical).
     Returns (doc_a, doc_b [, jaccard]) with doc_a < doc_b
-    [, metrics DataFrame].
+    [, metrics DataFrame with dropped_buckets, dropped_doc_entries,
+    max_dropped_size, identical_content_groups,
+    identical_content_extra_docs].
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, content_col=content_col, id_col=id_col,
                              num_hashes=num_hashes, shingle_n=shingle_n,
                              seed=seed)
+    # rep-collapse on byte identity: sha2 arrives via a narrow projection
+    # joined to the SIGNATURE table (one row per doc, ~0.5 KB) — joining
+    # small tables instead of windowing over the corpus keeps the extra
+    # cost at one cheap scan + small-row shuffles. Zero-token docs have no
+    # signature row, so they drop out of stars AND banding here exactly as
+    # they always dropped out of banding (empty shingle set).
+    csha = docs.select(F.col(id_col).alias("doc_id"),
+                       F.sha2(F.col(content_col), 256).alias("csha"))
+    ann = (sig.join(csha, "doc_id")
+           .withColumn("rep", F.min("doc_id").over(Window.partitionBy("csha")))
+           .persist(StorageLevel.MEMORY_ONLY))
+    star_pairs = (ann.filter(F.col("doc_id") != F.col("rep"))
+                  .select(F.col("rep").alias("doc_a"),
+                          F.col("doc_id").alias("doc_b")))
+    reps_sig = ann.filter(F.col("doc_id") == F.col("rep")) \
+                  .select("doc_id", "sig")
     band_arr = F.array(*[
         F.xxhash64(F.concat_ws(",", *[
             F.col("sig")[i * rows_per_band + r].cast("string")
             for r in range(rows_per_band)]))
         for i in range(bands)])
-    banded = (sig.select("doc_id", F.posexplode(band_arr)
-                         .alias("band", "band_hash")))
-    sized = (banded.groupBy("band", "band_hash")
-             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
-                  F.count("*").alias("sz")))
+    banded = (reps_sig.select("doc_id", F.posexplode(band_arr)
+                              .alias("band", "band_hash")))
+    sized = _capped_bucket_agg(banded, ["band", "band_hash"], "doc_id",
+                               F.col("doc_id"), "ids", max_bucket)
     # metrics/watcher and pairs both read the bucket table; without this
     # cache a caller evaluating both re-runs shingling + banding twice.
     # MEMORY_ONLY throughout this module: per-call cache entries have no
     # unpersist hook, so they must be evictable under LRU pressure rather
     # than accumulating on disk across calls
-    from pyspark import StorageLevel
     sized = sized.persist(StorageLevel.MEMORY_ONLY)
     if not with_metrics:
         sized = _watch_bucket_drops(sized, max_bucket, "minhash_lsh_pairs")
     metrics = _bucket_drop_metrics(sized, max_bucket, ["band", "band_hash"])
+    if with_metrics:
+        ident = (ann.filter(F.col("doc_id") != F.col("rep"))
+                 .agg(F.count_distinct("csha").cast("long")
+                      .alias("identical_content_groups"),
+                      F.count("*").cast("long")
+                      .alias("identical_content_extra_docs")))
+        metrics = metrics.crossJoin(ident)
     buckets = sized.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
     # pair generation within bucket: explode × explode with a < b
     pairs = (buckets
@@ -283,7 +351,6 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     if jaccard_threshold is not None:
         # the candidate DAG (signatures → bands → buckets) feeds three
         # consumers below; without a cache Spark recomputes it per consumer
-        from pyspark import StorageLevel
         pairs = pairs.persist(StorageLevel.MEMORY_ONLY)
         # compute shingles only for docs that appear in candidate pairs —
         # the candidate set is tiny next to the corpus, so a semi-join
@@ -306,6 +373,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
                              / F.size(F.array_union("shs_a", "shs_b")))
                  .filter(F.col("jaccard") >= jaccard_threshold)
                  .select("doc_a", "doc_b", "jaccard"))
+        # star members are byte-identical to their rep: jaccard is exactly
+        # 1.0 by definition — no verification pass needed
+        pairs = pairs.unionByName(
+            star_pairs.withColumn("jaccard", F.lit(1.0)))
+    else:
+        pairs = pairs.unionByName(star_pairs)
     if with_metrics:
         return pairs, metrics
     return pairs
@@ -470,9 +543,9 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
                             F.explode(F.array(*key_structs)).alias("kc"))
              .select("doc_id", "simhash", F.col("kc.ci").alias("ci"),
                      F.col("kc.cv").alias("cv")))
-    sized = (keyed.groupBy("ci", "cv")
-             .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"),
-                  F.count("*").alias("sz")))
+    sized = _capped_bucket_agg(keyed, ["ci", "cv"], "doc_id",
+                               F.struct("doc_id", "simhash"), "xs",
+                               max_bucket)
     # metrics/watcher + cand both read the bucket table — cache it so the
     # blocking aggregation runs once for both consumers
     sized = sized.persist(StorageLevel.MEMORY_ONLY)

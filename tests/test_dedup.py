@@ -94,8 +94,9 @@ def test_empty_docs_not_near_dups(spark):
     would make all punctuation-only docs jaccard-1.0 dups of each other)."""
     from harvester_spark.operators.dedup import shingles_expr
     docs = spark.createDataFrame(
-        [(0, ""), (1, "..!!"), (2, "real content words here")],
-        "doc_id long, content string")
+        [(0, ""), (1, "..!!"), (2, "real content words here"),
+         (3, ""), (4, "..!!")],   # byte-identical zero-token docs: no
+        "doc_id long, content string")  # star pairs either (0/0 jaccard)
     sh = {r["doc_id"]: r["s"] for r in
           docs.select("doc_id", shingles_expr("content").alias("s")).collect()}
     assert sh[0] == [] and sh[1] == []
@@ -104,22 +105,103 @@ def test_empty_docs_not_near_dups(spark):
     assert pairs == []
 
 
+def _permuted_docs(spark, n=30):
+    """n DISTINCT docs sharing one token multiset (shuffled order): with
+    shingle_n=1 their shingle sets are identical, so every minhash bucket
+    holds all n docs — oversized buckets of NON-identical content (the
+    rep-collapse can't help; only max_bucket can)."""
+    import random
+    toks = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+            "theta"]
+    rng = random.Random(7)
+    seen, rows = set(), []
+    while len(rows) < n:
+        t = toks[:]
+        rng.shuffle(t)
+        s = " ".join(t)
+        if s not in seen:
+            seen.add(s)
+            rows.append((len(rows), s))
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
 def test_minhash_lsh_drop_metrics(spark):
-    """Oversized buckets are dropped but ACCOUNTED, never silent."""
+    """Oversized buckets of DISTINCT contents are dropped but ACCOUNTED,
+    never silent (identical contents collapse instead — see below)."""
+    docs = _permuted_docs(spark, 30)
+    pairs, metrics = minhash_lsh_pairs(docs, max_bucket=4, shingle_n=1,
+                                       with_metrics=True)
+    m = metrics.collect()[0]
+    assert m["dropped_buckets"] == 16    # same sig -> all 16 band buckets
+    assert m["dropped_doc_entries"] == 16 * 30
+    assert m["max_dropped_size"] == 30
+    assert m["identical_content_groups"] == 0  # contents all distinct
+    assert pairs.count() == 0  # every bucket oversized -> all dropped
+    # with a big enough cap nothing is dropped and all pairs appear
+    pairs2, metrics2 = minhash_lsh_pairs(docs, max_bucket=100, shingle_n=1,
+                                         with_metrics=True)
+    assert metrics2.collect()[0]["dropped_buckets"] == 0
+    assert pairs2.count() == 30 * 29 // 2
+
+
+def test_minhash_identical_cluster_collapses(spark):
+    """Byte-identical docs must NOT explode buckets: they collapse to one
+    representative pre-banding and emit star pairs (jaccard exactly 1.0),
+    so even max_bucket=4 sees buckets of size 1 and drops nothing."""
     same = "import numpy def main return value data result"
     docs = spark.createDataFrame([(i, same) for i in range(8)],
                                  "doc_id long, content string")
-    pairs, metrics = minhash_lsh_pairs(docs, max_bucket=4, with_metrics=True)
+    pairs, metrics = minhash_lsh_pairs(docs, max_bucket=4, with_metrics=True,
+                                       jaccard_threshold=0.5)
     m = metrics.collect()[0]
-    assert m["dropped_buckets"] > 0
-    assert m["dropped_doc_entries"] >= 8
-    assert m["max_dropped_size"] == 8
-    assert pairs.count() == 0  # every bucket oversized -> all dropped
-    # with a big enough cap nothing is dropped and all pairs appear
-    pairs2, metrics2 = minhash_lsh_pairs(docs, max_bucket=100,
-                                         with_metrics=True)
-    assert metrics2.collect()[0]["dropped_buckets"] == 0
-    assert pairs2.count() == 8 * 7 // 2
+    assert m["dropped_buckets"] == 0
+    assert m["identical_content_groups"] == 1
+    assert m["identical_content_extra_docs"] == 7
+    rows = pairs.collect()
+    assert len(rows) == 7                       # stars, not 28 clique edges
+    assert all(r["doc_a"] == 0 and r["jaccard"] == 1.0 for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == list(range(1, 8))
+
+
+def test_minhash_identical_cluster_bounded_output(spark):
+    """r4 verdict #1/#2: a 10^4-doc byte-identical cluster must complete
+    with O(m) output and a BOUNDED bucket agg buffer (banding sees one
+    representative; the capped collect_list never materializes a
+    mega-array)."""
+    same = "the same boilerplate payload repeated in every doc"
+    rows = [(i, same) for i in range(10_000)]
+    rows += [(20_000, "completely different content here xyz")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    pairs, metrics = minhash_lsh_pairs(docs, max_bucket=100,
+                                       with_metrics=True)
+    assert pairs.count() == 9_999               # stars only
+    star = pairs.filter(F.col("doc_a") == 0)
+    assert star.count() == 9_999
+    m = metrics.collect()[0]
+    assert m["dropped_buckets"] == 0
+    assert m["identical_content_groups"] == 1
+    assert m["identical_content_extra_docs"] == 9_999
+
+
+def test_capped_bucket_agg_bounds_buffer(spark):
+    """The collect_list agg buffer must hold at most max_bucket+1 entries
+    even for a mega-bucket — the row_number pre-cap runs BEFORE the
+    aggregation (r4 verdict #1: the old post-agg filter still built the
+    full array on one reducer first)."""
+    from harvester_spark.operators.dedup import _capped_bucket_agg
+    rows = spark.range(5_000).select(F.lit(1).alias("k"),
+                                     F.col("id").alias("doc_id"))
+    out = _capped_bucket_agg(rows, ["k"], "doc_id", F.col("doc_id"), "ids",
+                             10).collect()
+    assert len(out) == 1
+    assert out[0]["sz"] == 5_000                # exact, uncapped count
+    assert out[0]["ids"] == list(range(11))     # max_bucket+1 witness
+    # under-cap buckets keep their full membership
+    small = spark.range(5).select(F.lit(2).alias("k"),
+                                  F.col("id").alias("doc_id"))
+    out2 = _capped_bucket_agg(small, ["k"], "doc_id", F.col("doc_id"),
+                              "ids", 10).collect()
+    assert out2[0]["ids"] == list(range(5)) and out2[0]["sz"] == 5
 
 
 def test_simhash_manku_blocking_recall(spark):
