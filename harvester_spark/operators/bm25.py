@@ -236,10 +236,20 @@ class IndexHandle:
     # interactive use, a query node pulls the (compressed) postings of the
     # query's terms once — a pushed-down scan — and scores in-process.
 
+    # resident decoded-postings budget for the serving cache: ~24 B/entry
+    # (three float64/int64 arrays), so 8M entries ≈ 200 MB — a serving
+    # node's hot working set, NOT unbounded lifetime growth (r4 verdict
+    # #4: a long-lived node querying a wide vocabulary accumulated GBs).
+    # Override per-handle by assigning the attribute.
+    term_cache_max_entries: int = 8_000_000
+
     def _term_postings(self, term: str):
         if not hasattr(self, "_term_cache"):
-            self._term_cache: dict[str, tuple] = {}
-        if term not in self._term_cache:
+            from collections import OrderedDict
+            self._term_cache: "OrderedDict[str, tuple]" = OrderedDict()
+            self._term_cache_entries = 0
+        cache = self._term_cache
+        if term not in cache:
             from harvester_spark.operators.codec import (decode_doc_ids,
                                                          varint_decode)
             rows = (self.postings.filter(F.col("term") == term)
@@ -253,14 +263,24 @@ class IndexHandle:
                 tf_l.append(varint_decode(bytes(r["tfs"])))
                 dl_l.append(varint_decode(bytes(r["dls"])))
             if ids_l:
-                self._term_cache[term] = (
+                cache[term] = (
                     np.concatenate(ids_l),
                     np.concatenate(tf_l).astype(np.float64),
                     np.concatenate(dl_l).astype(np.float64))
             else:
-                self._term_cache[term] = (np.empty(0, np.int64),
-                                          np.empty(0), np.empty(0))
-        return self._term_cache[term]
+                cache[term] = (np.empty(0, np.int64),
+                               np.empty(0), np.empty(0))
+            self._term_cache_entries += len(cache[term][0])
+            # entries-bounded LRU (dictseg block-cache pattern): evict the
+            # coldest term, but never the one just decoded — a single
+            # term wider than the whole budget still gets served
+            while (self._term_cache_entries > self.term_cache_max_entries
+                   and len(cache) > 1):
+                _, old = cache.popitem(last=False)
+                self._term_cache_entries -= len(old[0])
+        else:
+            cache.move_to_end(term)
+        return cache[term]
 
     def topk_local(self, query: str, k: int, *, mode: str = "or",
                    local_postings_cap: int = 2_000_000) -> pd.DataFrame:

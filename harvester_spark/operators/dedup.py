@@ -194,6 +194,11 @@ def _bucket_drop_metrics(buckets_sized: DataFrame, max_bucket: int,
                  .alias("max_dropped_size")))
 
 
+# how long a drop-watcher polls for its plan's first action before
+# concluding the plan was abandoned and releasing the thread
+_WATCH_TIMEOUT_S = 1800.0
+
+
 def _watch_bucket_drops(sized: DataFrame, max_bucket: int,
                         what: str) -> DataFrame:
     """Attach a drop counter to the bucket table and warn (from a daemon
@@ -207,15 +212,18 @@ def _watch_bucket_drops(sized: DataFrame, max_bucket: int,
     the watcher falls back to the one-row aggregation over the warm cache
     — off the caller's critical path either way.
 
-    Known cost: a caller that never executes the plan leaves the watcher
-    blocked on ``obs.get`` for the session lifetime — one idle daemon
-    thread plus the retained ``sized`` plan per abandoned call. The
-    reference must be strong (nothing else retains the Python object
-    after the operator returns, and a weakly-held plan would be collected
-    before the fallback could report on the NORMAL path); the persisted
-    cache entry is MEMORY_ONLY-evictable, so the footprint under pressure
-    is the thread, not the data."""
+    The watcher POLLS (it never parks on a blocking ``obs.get``): the JVM
+    Observation's ``getOrEmpty`` NPEs until the first action completes
+    (pre-action the metrics Row has a null schema), then returns the
+    metrics map — an unambiguous readiness probe. A caller that never
+    executes the plan therefore releases the thread at
+    ``_WATCH_TIMEOUT_S`` instead of leaking one parked daemon per
+    abandoned candidate plan (r4 ADVICE); plans first executed AFTER the
+    deadline lose only the warning — ``with_metrics=True`` remains the
+    accounting path. The persisted cache entry is MEMORY_ONLY-evictable,
+    so an abandoned plan's footprint under pressure is zero."""
     import threading
+    import time
     import warnings
 
     from pyspark.sql import Observation
@@ -230,12 +238,24 @@ def _watch_bucket_drops(sized: DataFrame, max_bucket: int,
         .alias("dropped_doc_entries"))
 
     def _watch() -> None:
+        deadline = time.monotonic() + _WATCH_TIMEOUT_S
+        while True:
+            try:
+                obs._jo.getOrEmpty()  # waits ≤100 ms JVM-side
+                break  # converts ⇒ the action completed
+            except Exception:
+                if time.monotonic() >= deadline:
+                    return  # abandoned plan: release the thread
+                time.sleep(0.25)
         m = None
         try:
-            m = obs.get  # blocks until the first action over this plan
+            m = obs.get  # action already done: returns immediately
         except Exception:
-            pass  # empty/lost metrics row — fall back below
+            pass  # lost metrics row — fall back below
         if m is None or "dropped_buckets" not in m:
+            # Spark 4.1 cached-subtree bug: the CollectMetrics row can
+            # come back empty when the observed plan shares a persisted
+            # subtree — aggregate over the now-warm cache instead
             try:
                 m = (sized.filter(F.col("sz") > max_bucket)
                      .agg(F.count("*").alias("dropped_buckets"),

@@ -221,12 +221,19 @@ def write_dict_segment(rows: Iterable, out_dir: str | Path, *,
     tmp = _stage_tmp(out)
     enc = _PartEncoder(block_size)
     for r in rows:
-        if isinstance(r, tuple):
-            term, df, idf, mt = r
+        # field access FIRST: pyspark Row is a tuple subclass, so an
+        # isinstance(tuple) check would unpack Rows positionally and a Row
+        # with fields ordered other than (term, df, idf, max_tfnorm) would
+        # silently write wrong df/idf values (r4 ADVICE)
+        fields = getattr(r, "__fields__", None)
+        if fields is not None:
+            term, df, idf = r["term"], r["df"], r["idf"]
+            mt = r["max_tfnorm"] if "max_tfnorm" in fields else None
+        elif isinstance(r, dict):
+            term, df, idf = r["term"], r["df"], r["idf"]
+            mt = r.get("max_tfnorm")
         else:
-            term, df, idf, mt = (r["term"], r["df"], r["idf"],
-                                 r["max_tfnorm"] if "max_tfnorm" in r
-                                 else None)
+            term, df, idf, mt = r
         enc.add(term, df, idf, mt)
     return _commit(out, tmp, [enc.write(tmp / "part-00000.seg")],
                    block_size)

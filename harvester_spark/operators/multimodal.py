@@ -328,6 +328,14 @@ def resize_images(media: DataFrame, width: int, height: int,
                 for p, m in zip(out["payload"], out["mime"]):
                     if m in AVI_MIMES:
                         frames, meta = decode_avi_mjpeg(bytes(p))
+                        if not frames:
+                            # same degenerate-container guard as
+                            # decode_real: a parseable AVI with zero
+                            # decodable frames must fail with a clear
+                            # per-row error, not encode_avi_mjpeg's
+                            # 'need at least one frame' killing the batch
+                            raise ValueError(
+                                "AVI payload contains no decodable frames")
                         payloads.append(bytearray(encode_avi_mjpeg(
                             [box_resize(f, width, height) for f in frames],
                             fps=meta["fps"] or 25)))
@@ -388,6 +396,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     payload = bytes(r.payload)
                     meta = probe_avi(payload)
                     n_frames = meta["n_frames"]
+                    if not n_frames:
+                        # a REAL AVI with zero frames must not silently
+                        # fall through to fabricated stub shas (r4 ADVICE)
+                        raise ValueError(
+                            "AVI payload contains no frames to sample")
                 if real and n_frames:
                     fps = meta["fps"] or 25
                     dur_ms = int(n_frames * 1000 / fps)

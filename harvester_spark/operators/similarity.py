@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, DoubleType, LongType, StructField,
+from pyspark.sql.types import (BinaryType, LongType, StructField,
                                StructType)
 
 
@@ -350,29 +350,38 @@ def embedding_near_dup_pairs(emb: DataFrame, *, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs: bucket by hyperplane signs,
     exact cosine within buckets only (candidate recall measured in tests).
 
-    Pairs come from a bucket-keyed SELF-JOIN (not collect_list of full
-    vectors — a 2000 × dim × 8 B array per bucket row is a memory bomb at
-    wide dims). Oversized buckets are excluded from the join and ACCOUNTED:
-    ``with_metrics=True`` also returns the dropped-bucket counts.
+    Candidates come from the FUSED build frame (:func:`_ann_build_frame`):
+    the assignment UDF carries the vector payload through, and the norm is
+    the post-UDF ``_norm`` projection — so the embedding table is scanned
+    ONCE with no join-back shuffle (r4 verdict #3, the same fix the three
+    index builds got). Pairs come from a bucket-keyed SELF-JOIN over that
+    frame (not collect_list of full vectors — a 2000 × dim × 8 B array per
+    bucket row is a memory bomb at wide dims). Oversized buckets are
+    excluded from the join and ACCOUNTED: ``with_metrics=True`` also
+    returns the dropped-bucket counts.
     Returns (id_a, id_b, cosine ≥ threshold) [, metrics DataFrame]."""
+    from pyspark import StorageLevel
+
     from harvester_spark.operators.dedup import _bucket_drop_metrics
 
     sample = emb.select(vec_col).first()
     dim = len(sample[0])
     planes = hyperplanes(dim, n_planes, seed)
-    b = bucket_ids(emb, planes, id_col=id_col, vec_col=vec_col)
-    withb = (emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-             .join(b, F.col("vid") == b["vec_id"]).drop("vec_id")
-             .withColumn("nrm", _norm(F.col("v"))))
-    sized = b.groupBy("bucket").agg(F.count("*").alias("sz"))
+    # MEMORY_ONLY: three consumers (sized + both self-join sides) of one
+    # mapInPandas pass; evictable per-call cache, like the dedup module
+    withb = (_ann_build_frame(emb, planes, id_col, vec_col)
+             .persist(StorageLevel.MEMORY_ONLY))
+    sized = withb.groupBy("bucket").agg(F.count("*").alias("sz"))
     metrics = _bucket_drop_metrics(sized, max_bucket, ["bucket"])
     keep = (sized.filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
             .select("bucket"))
     joinable = withb.join(F.broadcast(keep), "bucket")
-    a = joinable.select(F.col("bucket"), F.col("vid").alias("id_a"),
-                        F.col("v").alias("va"), F.col("nrm").alias("na"))
-    bb = joinable.select(F.col("bucket"), F.col("vid").alias("id_b"),
-                         F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    a = joinable.select(F.col("bucket"), F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"),
+                        F.col("norm").alias("na"))
+    bb = joinable.select(F.col("bucket"), F.col("vec_id").alias("id_b"),
+                         F.col("embedding").alias("vb"),
+                         F.col("norm").alias("nb"))
     pairs = (a.join(bb, ["bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
@@ -415,12 +424,15 @@ def _ivfpq_build_frame(emb: DataFrame, C: np.ndarray, books: np.ndarray,
                        vec_col: str) -> DataFrame:
     """Pre-write frame for :func:`build_ivfpq_index` (test-visible — see
     :func:`_ann_build_frame`): one encode pass emits list assignment, PQ
-    codes, norm AND the raw vector payload together."""
+    codes AND the raw vector payload together. The stored ``norm`` is the
+    post-UDF ``_norm`` SQL projection — NOT the numpy norm the encoder
+    uses internally — so the rerank that divides by it stays bit-identical
+    to a query-time ``_norm(embedding)`` recompute (same rule as the
+    ann/ivf builds)."""
     vec_type = emb.schema[vec_col].dataType
     schema = StructType([StructField("vec_id", LongType()),
                          StructField("list_id", LongType()),
                          StructField("codes", BinaryType()),
-                         StructField("norm", DoubleType()),
                          StructField("embedding", vec_type)])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -441,10 +453,10 @@ def _ivfpq_build_frame(emb: DataFrame, C: np.ndarray, books: np.ndarray,
                 "vec_id": pdf[id_col].astype("int64"),
                 "list_id": lists.astype("int64"),
                 "codes": [c.tobytes() for c in codes],
-                "norm": norms,
                 "embedding": pdf[vec_col]})
 
-    return emb.select(id_col, vec_col).mapInPandas(encode, schema)
+    return (emb.select(id_col, vec_col).mapInPandas(encode, schema)
+            .withColumn("norm", _norm(F.col("embedding"))))
 
 
 def build_ivfpq_index(emb: DataFrame, out_dir, *, n_centroids: int = 64,
@@ -563,7 +575,9 @@ def query_ivfpq_index(spark, index_dir, query_vec: list[float], k: int, *,
             .join(F.broadcast(cand), "vec_id", "left_semi"))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     qnorm = float(np.linalg.norm(q))
-    cos = _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding"))
-                                            * F.lit(qnorm))
+    # stored norm = build-time _norm projection (bit-identical to an
+    # inline recompute); using it keeps the rerank scan pruned to
+    # (vec_id, embedding, norm) and one multiply per row
+    cos = _dot(F.col("embedding"), qcol) / (F.col("norm") * F.lit(qnorm))
     return (vecs.select("vec_id", cos.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))

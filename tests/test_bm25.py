@@ -237,6 +237,36 @@ def test_local_serving_hot_term_auto_fallback(spark, index_dir, oracle):
     assert_rank_identical(got2, want, "warm-cache-under-cap")
 
 
+def test_term_cache_lru_bounded(spark, index_dir, oracle):
+    """r4 verdict #4: a long-lived serving node querying a wide vocabulary
+    must keep resident decoded postings BOUNDED (entries-capped LRU, the
+    dictseg block-cache pattern) — and stay rank-identical after
+    evictions."""
+    from harvester_spark.operators.bm25 import open_index, tokenize_query
+
+    h = open_index(spark, index_dir)
+    h.term_cache_max_entries = 50  # tiny budget: forces constant eviction
+    vocab = [r["term"] for r in
+             h.dictionary.select("term").limit(40).collect()]
+    for t in vocab:  # serving loop over > cap distinct terms
+        h._term_postings(t)
+        resident = sum(len(v[0]) for v in h._term_cache.values())
+        assert resident == h._term_cache_entries
+        # bound: budget + the one just-decoded term (never evicted)
+        widest = max(len(v[0]) for v in h._term_cache.values())
+        assert resident <= 50 + widest
+    assert len(h._term_cache) < len(vocab)  # evictions actually happened
+    # rank-identity survives eviction/re-decode churn
+    q, k = "import def", 10
+    got = h.topk_local(q, k)
+    want = oracle.topk(tokenize_query(q), k)
+    assert_rank_identical(got, want, "lru-churn")
+    # LRU order: re-touching a term moves it to the hot end
+    t0 = next(iter(h._term_cache))
+    h._term_postings(t0)
+    assert next(reversed(h._term_cache)) == t0
+
+
 def test_pruning_metrics_deterministic_across_runs(spark, index_dir):
     """r3 ADVICE: the theta-seed cap used .limit() on an unordered
     semi-join, making skip ratios vary run-to-run. The cap now takes the

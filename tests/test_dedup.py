@@ -383,6 +383,30 @@ def test_bucket_drop_warning_fires_without_metrics(spark):
     assert any("simhash_near_pairs: max_bucket=2 dropped" in m for m in msgs)
 
 
+def test_abandoned_plan_releases_watcher(spark, monkeypatch):
+    """r4 ADVICE: a candidate plan that is never executed must not park a
+    watcher daemon for the session lifetime — the poller exits at the
+    timeout."""
+    import threading
+    import time
+
+    from harvester_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_WATCH_TIMEOUT_S", 2.0)
+    before = {id(t) for t in threading.enumerate()}
+    docs = spark.createDataFrame([(i, f"words tok{i}") for i in range(5)],
+                                 "doc_id long, content string")
+    dd.simhash_near_pairs(docs, max_bucket=2, n_docs=5)  # plan abandoned
+    new = [t for t in threading.enumerate()
+           if id(t) not in before and t.name.endswith("bucket-drop-watch")]
+    assert new, "watcher thread was not started"
+    deadline = time.time() + 15
+    while time.time() < deadline and any(t.is_alive() for t in new):
+        time.sleep(0.25)
+    assert not any(t.is_alive() for t in new), \
+        "watcher still parked after the abandoned-plan timeout"
+
+
 def test_exact_duplicates_bounded_group_payload(spark):
     """A mega-dup group must not materialize an unbounded id list (r3
     verdict: one 10^7-member boilerplate group OOMs its reducer)."""

@@ -43,6 +43,28 @@ def test_nan_max_tfnorm_means_absent(tmp_path):
     seg.close()
 
 
+def test_row_field_order_respected(tmp_path):
+    """r4 ADVICE: pyspark Row is a tuple subclass — the writer must
+    dispatch on FIELDS first, or a Row ordered other than
+    (term, df, idf, max_tfnorm) silently writes wrong df/idf."""
+    from pyspark.sql import Row
+
+    rows = [Row(idf=2.5, term="a", max_tfnorm=1.25, df=7),
+            Row(idf=1.5, term="b", max_tfnorm=None, df=3)]
+    write_dict_segment(rows, tmp_path)
+    seg = DictSegment(tmp_path)
+    assert seg.get("a") == {"df": 7, "idf": 2.5, "max_tfnorm": 1.25}
+    assert seg.get("b") == {"df": 3, "idf": 1.5, "max_tfnorm": None}
+    seg.close()
+    # Rows WITHOUT the optional max_tfnorm field default it to None
+    import shutil
+    shutil.rmtree(tmp_path)
+    write_dict_segment([Row(df=4, term="c", idf=0.5)], tmp_path)
+    seg = DictSegment(tmp_path)
+    assert seg.get("c") == {"df": 4, "idf": 0.5, "max_tfnorm": None}
+    seg.close()
+
+
 def test_unsorted_input_rejected(tmp_path):
     with pytest.raises(ValueError, match="sorted"):
         write_dict_segment([("b", 1, 1.0, None), ("a", 1, 1.0, None)],

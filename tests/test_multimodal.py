@@ -367,3 +367,28 @@ def test_avi_degenerate_payload_clean_error():
     assert probe_avi(payload)["n_frames"] == 0
     with pytest.raises(ValueError, match="no decodable frames"):
         decode_real(payload, "video/x-msvideo")
+
+
+def test_avi_zero_frame_guards_resize_and_sample(spark):
+    """r4 ADVICE: the resize path must fail a 0-frame-but-parseable AVI
+    with the same clean per-row error as decode_real (not
+    encode_avi_mjpeg's 'need at least one frame'), and sample_frames must
+    raise rather than emit fabricated stub shas for a REAL container."""
+    import struct
+
+    from harvester_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      resize_images,
+                                                      sample_frames)
+
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    media = spark.createDataFrame(
+        [(0, "video/x-msvideo", bytearray(payload), None, None, 1000)],
+        MEDIA_SCHEMA)
+    for op in (lambda: resize_images(media, 8, 8).collect(),
+               lambda: sample_frames(media, every_ms=500).collect()):
+        with pytest.raises(Exception) as ei:
+            op()
+        assert "no decodable frames" in str(ei.value) \
+            or "no frames to sample" in str(ei.value)

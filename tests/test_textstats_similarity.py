@@ -231,6 +231,25 @@ def test_ivf_quantizer_representative_on_skewed_partitions(spark, tmp_path):
         assert len(got & want) >= 8, f"cluster {c}: recall {len(got & want)}/10"
 
 
+def test_embedding_near_dup_no_embedding_join_back(spark):
+    """r4 verdict #3: near-dup candidates must come from the fused
+    _ann_build_frame (one mapInPandas pass carrying the payload), not
+    from a (vec_id, bucket) frame joined back to the embedding table.
+    The only joins in the plan are the broadcast of kept bucket ids and
+    the bucket-keyed self-join — nothing joins on vec_id, and the raw
+    embedding relation is scanned into exactly one UDF pass."""
+    from harvester_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.99, n_planes=4)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "vec_id = vec_id" not in plan.replace("#", " ").lower()
+    # any join condition mentioning vec_id would be the old join-back
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert all(ln.lower().count("vec_id") == 0 for ln in joins), joins
+    pairs.count()  # and it still executes end-to-end
+
+
 def test_ann_builds_have_no_shuffle_join(spark):
     """r3 verdict: the ANN builds used to emit (vec_id, bucket) from the
     assignment UDF and join it back to the embedding table — shuffling
