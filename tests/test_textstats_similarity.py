@@ -231,6 +231,28 @@ def test_ivf_quantizer_representative_on_skewed_partitions(spark, tmp_path):
         assert len(got & want) >= 8, f"cluster {c}: recall {len(got & want)}/10"
 
 
+def test_ann_relation_cache_invalidated_on_rebuild(spark, emb, tmp_path):
+    """Repeated queries reuse the resolved file listing (no per-query
+    partition-discovery job), but a REBUILD at the same path must
+    invalidate it — stale listings would serve deleted files."""
+    from harvester_spark.operators.similarity import (build_ann_index,
+                                                      query_ann_index)
+
+    idx = tmp_path / "ann"
+    build_ann_index(emb, idx, n_planes=4, seed=42)
+    pdf = emb.toPandas()
+    q = [float(x) for x in pdf[pdf["vec_id"] == 0]["embedding"].iloc[0]]
+    first = {r["vec_id"] for r in
+             query_ann_index(spark, idx, q, 5, n_probe_bits=4).collect()}
+    assert 0 in first
+    # rebuild with a shifted id space: results must come from the NEW data
+    emb2 = emb.withColumn("vec_id", F.col("vec_id") + 100_000)
+    build_ann_index(emb2, idx, n_planes=4, seed=42)
+    second = {r["vec_id"] for r in
+              query_ann_index(spark, idx, q, 5, n_probe_bits=4).collect()}
+    assert second == {v + 100_000 for v in first}
+
+
 def test_embedding_near_dup_no_embedding_join_back(spark):
     """r4 verdict #3: near-dup candidates must come from the fused
     _ann_build_frame (one mapInPandas pass carrying the payload), not
