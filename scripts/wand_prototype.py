@@ -89,35 +89,27 @@ def wand_simulate(term_data: list[tuple[np.ndarray, np.ndarray]],
             break  # no remaining doc can beat theta
         pivot_doc = int(ids[live[pivot_i]][ptr[live[pivot_i]]])
         if int(ids[live[0]][ptr[live[0]]]) == pivot_doc:
-            # candidate: all leading lists are AT the pivot
+            # candidate: every list whose current doc IS the pivot (this
+            # can include lists beyond pivot_i — cur values are sorted,
+            # so later lists may sit at the same doc and their UBs MUST
+            # enter the block-max check or a skip could drop a true hit)
+            tset = [t for t in live
+                    if ptr[t] < n[t] and int(ids[t][ptr[t]]) == pivot_doc]
             if block:
-                # block-max check: sum of the CURRENT block UBs of lists
-                # at/under the pivot; if it can't beat theta, jump past
-                # the nearest block boundary without opening anything
-                bsum, tset = 0.0, []
-                for t in live[:pivot_i + 1]:
-                    bsum += float(bub[t][ptr[t] // block])
-                    tset.append(t)
+                # block-max refinement: if the CURRENT block UBs of all
+                # pivot lists cannot beat theta, skip scoring this doc —
+                # its payload blocks never need decoding
+                bsum = sum(float(bub[t][ptr[t] // block]) for t in tset)
                 if bsum <= theta() * eps:
-                    nxt = min(((ptr[t] // block + 1) * block) for t in tset)
-                    tgt = None
                     for t in tset:
-                        if nxt <= n[t] - 1 or nxt < n[t]:
-                            pass
-                    # advance every pivot-list past its block end or to
-                    # the next doc > pivot_doc, whichever is sooner
-                    for t in tset:
-                        ptr[t] = int(np.searchsorted(
-                            ids[t], pivot_doc + 1, side="left"))
+                        ptr[t] += 1
                     continue
                 for t in tset:
                     blocks_opened.add((t, ptr[t] // block))
             s = 0.0
-            for t in live:
-                p = ptr[t]
-                if p < n[t] and int(ids[t][p]) == pivot_doc:
-                    s += float(contrib[t][p])
-                    ptr[t] = p + 1
+            for t in tset:
+                s += float(contrib[t][ptr[t]])
+                ptr[t] += 1
             scored += 1
             if len(topk) < k:
                 heapq.heappush(topk, (s, -pivot_doc))
@@ -188,9 +180,11 @@ def main() -> None:
 
         wand = wand_simulate(td, 10, None)
         bmw = wand_simulate(td, 10, 128)
-        assert [d for d, _ in wand["topk"]] == [d for d, _ in want], q
-        np.testing.assert_allclose([s for _, s in wand["topk"]],
-                                   [s for _, s in want], rtol=1e-9)
+        for label, sim in (("wand", wand), ("bmw", bmw)):
+            assert [d for d, _ in sim["topk"]] == [d for d, _ in want], \
+                (label, q)
+            np.testing.assert_allclose([s for _, s in sim["topk"]],
+                                       [s for _, s in want], rtol=1e-9)
         out[q] = {
             "terms": len(present),
             "union_docs": union,
