@@ -13,13 +13,16 @@ Decode support comes in two tiers:
   4:4:4 + 4:2:0, arbitrary DHT, restart markers), and PNG via stdlib
   zlib + all five scanline filters (operators/pngcodec.py) — full
   decode → features → resize/re-encode paths, exercised end-to-end.
-- Video via MJPEG-in-AVI (operators/avicodec.py): RIFF demux + per-frame
-  baseline-JPEG decode, all in-engine — real frame sampling and video
-  features. MP4 proper (ISO-BMFF + H.26x) still needs ffmpeg-class work;
-  for that one mime ``decode_real`` raises NotImplementedError by design
-  and ``decode_stub_features`` provides the deterministic stand-in so the
-  Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
-  shape) stays real and tested either way.
+- Video via MJPEG-in-AVI (operators/avicodec.py, RIFF demux) AND
+  Motion-JPEG-in-MP4 (operators/mp4codec.py, ISO-BMFF demux): container
+  walk + per-frame baseline-JPEG decode, all in-engine — real frame
+  sampling, video features, frame-wise resize. The declared boundary is
+  now CODEC-level, not container-level: H.26x/HEVC-coded MP4 tracks need
+  ffmpeg-class entropy decode, so for those payloads ``decode_real``
+  raises NotImplementedError by design and ``decode_stub_features``
+  provides the deterministic stand-in, keeping the Spark-side plumbing
+  (schema, partitioning, UDF signature, Arrow batch shape) real and
+  tested either way.
 """
 
 from __future__ import annotations
@@ -150,7 +153,7 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
                          bytearray(encode_jpeg(img, quality=85,
                                                subsample=bool(i % 8 == 1))),
                          w, h, None))
-        elif i % 8 == 3:  # real PNG (stdlib zlib codec, lossless)
+        elif i % 16 == 3:  # real PNG (stdlib zlib codec, lossless)
             from harvester_spark.operators.pngcodec import encode_png
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -172,11 +175,51 @@ def make_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             rows.append((i, "video/x-msvideo",
                          bytearray(encode_avi_mjpeg(frames, fps=fps)),
                          w, h, int(n_frames * 1000 / fps)))
-        else:  # opaque compressed payload (stub path: MP4 stays declared)
+        elif i % 16 == 11:  # real MJPEG-in-MP4 (in-engine ISO-BMFF demux)
+            from harvester_spark.operators.mp4codec import encode_mp4_mjpeg
+            w, h = int(rng.integers(2, 6)) * 8, int(rng.integers(2, 6)) * 8
+            n_frames = int(rng.integers(2, 6))
+            fps = int(rng.integers(5, 30))
+            base = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+            frames = []
+            for fi in range(n_frames):
+                f = np.repeat(np.repeat(base, h // 4, axis=0),
+                              w // 4, axis=1)[:h, :w]
+                frames.append(np.clip(f.astype(np.int32) + 9 * fi, 0,
+                                      255).astype(np.uint8))
+            rows.append((i, "video/mp4",
+                         bytearray(encode_mp4_mjpeg(frames, fps=fps)),
+                         w, h, int(n_frames * 1000 / fps)))
+        else:  # opaque compressed payload (stub path: H.26x-in-MP4 stays
+            # the declared boundary — codec-level now, not container-level)
             payload = rng.bytes(64 + int(rng.integers(0, 256)))
             rows.append((i, "video/mp4", bytearray(payload), None, None,
                          int(rng.integers(100, 10_000))))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _video_features(frames: list[np.ndarray], meta: dict,
+                    container: str) -> np.ndarray:
+    """Shared video feature vector (AVI and MP4 demux paths):
+    [n_frames, w, h, fps, mean/std luminance, mean inter-frame abs diff,
+     8-bin brightness histogram, 1 zero]."""
+    if not frames:
+        # clean per-row error instead of np.stack([]) blowing up the
+        # whole Arrow partition on a degenerate-but-parseable container
+        raise ValueError(
+            f"{container} payload contains no decodable frames")
+    if meta.get("width") is None or meta.get("height") is None:
+        meta = dict(meta, width=frames[0].shape[1],
+                    height=frames[0].shape[0])
+    lum = np.stack([f.mean(axis=2) for f in frames])  # (n, h, w)
+    diffs = (np.abs(np.diff(lum, axis=0)).mean()
+             if len(frames) > 1 else 0.0)
+    hist = np.histogram(lum, bins=8, range=(0, 256))[0] / max(1, lum.size)
+    out = np.concatenate((
+        [len(frames), meta["width"], meta["height"], meta["fps"] or 0,
+         lum.mean() / 255.0, lum.std() / 255.0, diffs / 255.0],
+        hist, [0.0]))
+    return out[:FEATURE_DIM].astype(np.float32)
 
 
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
@@ -187,30 +230,23 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
     brightness histogram].
     WAV audio: [duration_s, rate/48k, rms, zero-crossing rate, peak,
                 8 log-spaced rFFT band energies, 3 zeros]
-    MJPEG-AVI video (operators/avicodec.py RIFF demux + per-frame JPEG):
+    Video — MJPEG-AVI (avicodec RIFF demux) and Motion-JPEG MP4
+    (mp4codec ISO-BMFF demux), per-frame JPEG decode:
     [n_frames, w, h, fps, mean/std luminance, mean inter-frame abs diff,
      8-bin brightness histogram, 1 zero]
-    MP4 requires ffmpeg-class demuxing — still a declared stub — and
-    raises NotImplementedError by design."""
+    H.26x/HEVC MP4 tracks require ffmpeg-class entropy decode — the
+    declared boundary — and raise NotImplementedError by design."""
     if mime in AVI_MIMES:
         from harvester_spark.operators.avicodec import decode_avi_mjpeg
         frames, meta = decode_avi_mjpeg(payload)
-        if not frames:
-            # clean per-row error instead of np.stack([]) blowing up the
-            # whole Arrow partition on a degenerate-but-parseable container
-            raise ValueError("AVI payload contains no decodable frames")
-        if meta["width"] is None or meta["height"] is None:
-            meta = dict(meta, width=frames[0].shape[1],
-                        height=frames[0].shape[0])
-        lum = np.stack([f.mean(axis=2) for f in frames])  # (n, h, w)
-        diffs = (np.abs(np.diff(lum, axis=0)).mean()
-                 if len(frames) > 1 else 0.0)
-        hist = np.histogram(lum, bins=8, range=(0, 256))[0] / max(1, lum.size)
-        out = np.concatenate((
-            [len(frames), meta["width"], meta["height"], meta["fps"] or 0,
-             lum.mean() / 255.0, lum.std() / 255.0, diffs / 255.0],
-            hist, [0.0]))
-        return out[:FEATURE_DIM].astype(np.float32)
+        return _video_features(frames, meta, "AVI")
+    if mime in MP4_MIMES:
+        from harvester_spark.operators.mp4codec import decode_mp4_jpeg
+        # JPEG-coded tracks decode fully in-engine (mp4codec ISO-BMFF
+        # demux); H.26x tracks raise NotImplementedError inside — the
+        # honest ffmpeg-class boundary, now codec-level not container-level
+        frames, meta = decode_mp4_jpeg(payload)
+        return _video_features(frames, meta, "MP4")
     if mime in ("image/x-portable-pixmap", "image/ppm", "image/jpeg",
                 "image/png"):
         if mime == "image/jpeg":
@@ -246,7 +282,8 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
         return out[:FEATURE_DIM].astype(np.float32)
     raise NotImplementedError(
         f"decode for {mime!r} needs media libraries not available in this "
-        "environment; swap in Pillow/librosa/ffmpeg here on a real cluster")
+        "environment (H.26x/HEVC video, non-PCM audio); swap in "
+        "Pillow/librosa/ffmpeg here on a real cluster")
 
 
 def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
@@ -260,8 +297,20 @@ def decode_stub_features(payload: bytes, mime: str) -> np.ndarray:
 
 
 AVI_MIMES = ("video/x-msvideo", "video/avi")
+MP4_MIMES = ("video/mp4", "video/quicktime")
 REAL_DECODE_MIMES = {"image/x-portable-pixmap", "image/ppm", "audio/wav",
-                     "image/jpeg", "image/png", *AVI_MIMES}
+                     "image/jpeg", "image/png", *AVI_MIMES, *MP4_MIMES}
+
+
+def _mime_decodes_real(payload: bytes, mime: str) -> bool:
+    """Dispatch for ``use_stub="auto"``: can this row REALLY decode
+    in-engine? For MP4 the answer is per-PAYLOAD, not per-mime — only
+    JPEG-coded tracks decode (is_jpeg_coded_mp4 is a cheap table probe);
+    H.26x/garbage payloads under video/mp4 stay on the stub path."""
+    if mime in MP4_MIMES:
+        from harvester_spark.operators.mp4codec import is_jpeg_coded_mp4
+        return is_jpeg_coded_mp4(payload)
+    return mime in REAL_DECODE_MIMES
 
 
 def extract_features(media: DataFrame, *,
@@ -276,7 +325,7 @@ def extract_features(media: DataFrame, *,
     def kernel(p: bytes, m: str) -> np.ndarray:
         if use_stub is True:
             return decode_stub_features(p, m)
-        if use_stub == "auto" and m not in REAL_DECODE_MIMES:
+        if use_stub == "auto" and not _mime_decodes_real(p, m):
             return decode_stub_features(p, m)
         return decode_real(p, m)
 
@@ -305,12 +354,12 @@ def resize_images(media: DataFrame, width: int, height: int,
 
     PPM/JPEG/PNG payloads get a REAL decode → nearest-neighbor resize →
     re-encode (pure numpy; JPEG via the in-engine T.81 codec); MJPEG-AVI
-    video is resized frame-by-frame and re-containerized; remaining
-    compressed formats keep the stub identity payload with updated
-    metadata (real kernel = Pillow/ffmpeg drop-in). Binary-in/binary-out
-    UDF shape either way."""
+    and Motion-JPEG-MP4 video are resized frame-by-frame and
+    re-containerized; remaining compressed formats (H.26x MP4) keep the
+    stub identity payload with updated metadata (real kernel =
+    Pillow/ffmpeg drop-in). Binary-in/binary-out UDF shape either way."""
     imgs = media.filter(F.col("mime").startswith("image/")
-                        | F.col("mime").isin(*AVI_MIMES))
+                        | F.col("mime").isin(*AVI_MIMES, *MP4_MIMES))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from harvester_spark.operators.jpegcodec import (decode_jpeg,
@@ -323,6 +372,8 @@ def resize_images(media: DataFrame, width: int, height: int,
                 payloads = []
                 from harvester_spark.operators.avicodec import (
                     decode_avi_mjpeg, encode_avi_mjpeg)
+                from harvester_spark.operators.mp4codec import (
+                    decode_mp4_jpeg, encode_mp4_mjpeg, is_jpeg_coded_mp4)
                 from harvester_spark.operators.pngcodec import (
                     decode_png, encode_png)
                 for p, m in zip(out["payload"], out["mime"]):
@@ -339,6 +390,14 @@ def resize_images(media: DataFrame, width: int, height: int,
                         payloads.append(bytearray(encode_avi_mjpeg(
                             [box_resize(f, width, height) for f in frames],
                             fps=meta["fps"] or 25)))
+                    elif m in MP4_MIMES and is_jpeg_coded_mp4(bytes(p)):
+                        frames, meta = decode_mp4_jpeg(bytes(p))
+                        if not frames:
+                            raise ValueError(
+                                "MP4 payload contains no decodable frames")
+                        payloads.append(bytearray(encode_mp4_mjpeg(
+                            [box_resize(f, width, height) for f in frames],
+                            fps=meta["fps"] or 25)))
                     elif m == "image/jpeg":
                         payloads.append(bytearray(encode_jpeg(
                             box_resize(decode_jpeg(bytes(p)), width,
@@ -347,11 +406,11 @@ def resize_images(media: DataFrame, width: int, height: int,
                         payloads.append(bytearray(encode_png(
                             box_resize(decode_png(bytes(p)), width,
                                        height))))
-                    elif m in REAL_DECODE_MIMES:
+                    elif m in ("image/x-portable-pixmap", "image/ppm"):
                         payloads.append(bytearray(encode_ppm(
                             box_resize(decode_ppm(bytes(p)), width, height))))
                     elif use_stub == "auto":
-                        payloads.append(p)
+                        payloads.append(p)  # no in-engine codec: identity
                     else:
                         decode_real(bytes(p), m)  # raises: no codec libs
                 out["payload"] = payloads
@@ -366,11 +425,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                   *, use_stub: bool | str = "auto") -> DataFrame:
     """Video frame-sampling: one output row per sampled frame.
 
-    MJPEG-AVI rows get REAL sampling (RIFF demux + one JPEG decode per
-    sampled timestamp; ``frame_sha256`` is the sha of the decoded RGB
-    bytes); other video mimes keep the deterministic stub row-explode
-    shape a real ffmpeg kernel would produce. ``use_stub``: True = stub
-    everywhere, False = real everywhere (raises for MP4), "auto" =
+    MJPEG-AVI and Motion-JPEG-MP4 rows get REAL sampling (container
+    demux + one JPEG decode per sampled timestamp; ``frame_sha256`` is
+    the sha of the decoded RGB bytes); other video payloads (H.26x MP4)
+    keep the deterministic stub row-explode shape a real ffmpeg kernel
+    would produce. ``use_stub``: True = stub everywhere, False = real
+    everywhere (raises for payloads with no in-engine codec), "auto" =
     real where a decoder exists."""
     vids = media.filter(F.col("mime").startswith("video/"))
     schema = StructType([
@@ -383,24 +443,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from harvester_spark.operators.avicodec import (decode_avi_frames,
                                                         probe_avi)
+        from harvester_spark.operators.mp4codec import (decode_mp4_frames,
+                                                        is_jpeg_coded_mp4,
+                                                        probe_mp4)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if use_stub is False and r.mime not in AVI_MIMES:
-                    # no decoder for this video mime: honest failure
+                if r.mime in AVI_MIMES:
+                    probe_fn, frames_fn = probe_avi, decode_avi_frames
+                elif (r.mime in MP4_MIMES
+                      and is_jpeg_coded_mp4(bytes(r.payload))):
+                    probe_fn, frames_fn = probe_mp4, decode_mp4_frames
+                else:
+                    probe_fn = frames_fn = None
+                if use_stub is False and probe_fn is None:
+                    # no decoder for this video payload: honest failure
                     # (mirrors decode_real's declared-stub contract)
                     decode_real(bytes(r.payload), r.mime)
-                real = (r.mime in AVI_MIMES and use_stub is not True)
+                real = (probe_fn is not None and use_stub is not True)
                 n_frames = 0
                 if real:
                     payload = bytes(r.payload)
-                    meta = probe_avi(payload)
+                    meta = probe_fn(payload)
                     n_frames = meta["n_frames"]
                     if not n_frames:
-                        # a REAL AVI with zero frames must not silently
-                        # fall through to fabricated stub shas (r4 ADVICE)
+                        # a REAL container with zero frames must not
+                        # silently fall through to fabricated stub shas
+                        # (r4 ADVICE)
                         raise ValueError(
-                            "AVI payload contains no frames to sample")
+                            "video payload contains no frames to sample")
                 if real and n_frames:
                     fps = meta["fps"] or 25
                     dur_ms = int(n_frames * 1000 / fps)
@@ -410,7 +481,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     # decode ONLY the sampled frames — the JPEG entropy
                     # decode dominates; a 25 fps clip sampled at 1 Hz
                     # would otherwise decode 25x more than needed
-                    decoded = decode_avi_frames(payload, sorted(set(srcs)))
+                    decoded = frames_fn(payload, sorted(set(srcs)))
                     for fi, src in enumerate(srcs):
                         sha = hashlib.sha256(
                             decoded[src].tobytes()).hexdigest()

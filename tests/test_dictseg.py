@@ -43,6 +43,49 @@ def test_nan_max_tfnorm_means_absent(tmp_path):
     seg.close()
 
 
+def test_scan_block_equals_decoded_lookup(tmp_path):
+    """The allocation-free LCP scan (cold path) must agree with the full
+    block decode on hits, misses, proper prefixes and extensions."""
+    terms = sorted({"a", "ab", "abc", "abcd", "abd", "ac", "b", "ba",
+                    "bab", "bz", "z", "zz", "zzz"})
+    rows = [(t, i + 1, float(i), 0.25 * i if i % 2 else None)
+            for i, t in enumerate(terms)]
+    write_dict_segment(rows, tmp_path, block_size=4)
+    seg = DictSegment(tmp_path)
+    part = seg._part(0)
+    probes = terms + ["", "aa", "abcde", "abce", "ad", "bzz", "y", "zzzz",
+                      "a\x00", "abb", "b" * 40]
+    from bisect import bisect_right
+    for p in probes:
+        tb = p.encode()
+        bi = bisect_right(part.leaders, tb) - 1
+        if bi < 0:
+            continue
+        decoded = {t: (df, idf, mt) for t, df, idf, mt in part.block(bi)}
+        want = None
+        if tb in decoded:
+            df, idf, mt = decoded[tb]
+            want = {"df": df, "idf": idf,
+                    "max_tfnorm": None if mt != mt else mt}
+        assert part.scan_block(bi, tb) == want, p
+    seg.close()
+
+
+def test_cold_scan_promotes_hot_blocks(tmp_path):
+    """First probe of a block uses the no-alloc scan; the second decodes
+    it into the LRU, after which lookups serve from the cache."""
+    terms = [f"term{i:04d}" for i in range(256)]
+    write_dict_segment([(t, 1, 1.0, None) for t in terms], tmp_path,
+                       block_size=16)
+    seg = DictSegment(tmp_path)
+    assert seg.lookup(["term0005"])["term0005"]["df"] == 1
+    assert len(seg._block_cache) == 0          # cold: scan only
+    assert seg.lookup(["term0007"])["term0007"]["df"] == 1
+    assert len(seg._block_cache) == 1          # second touch: promoted
+    assert seg.lookup(["term0005"])["term0005"]["df"] == 1  # from cache
+    seg.close()
+
+
 def test_row_field_order_respected(tmp_path):
     """r4 ADVICE: pyspark Row is a tuple subclass — the writer must
     dispatch on FIELDS first, or a Row ordered other than

@@ -33,7 +33,8 @@ def test_resize_plumbing(media):
     out = resize_images(media, 224, 224).toPandas()
     assert (out["width"] == 224).all() and (out["height"] == 224).all()
     assert set(out["mime"]) <= {"image/x-portable-pixmap", "image/jpeg",
-                                "image/png", "video/x-msvideo"}
+                                "image/png", "video/x-msvideo",
+                                "video/mp4"}
     # AVI rows were genuinely re-encoded: every frame now 224x224
     from harvester_spark.operators.avicodec import decode_avi_mjpeg
     avi = out[out["mime"] == "video/x-msvideo"]
@@ -52,10 +53,24 @@ def test_sample_frames(media):
 
 
 def test_real_decoder_is_explicit_stub():
-    # video is the one remaining declared stub (needs ffmpeg-class work);
-    # PPM/WAV/JPEG/PNG all decode in-engine now
-    with pytest.raises(NotImplementedError):
+    # the declared boundary is codec-level now: an H.26x-coded MP4 track
+    # raises NotImplementedError naming the codec (a non-ISO-BMFF payload
+    # under video/mp4 is a plain parse error); unknown mimes keep the
+    # explicit NotImplementedError contract
+    import numpy as np
+
+    from harvester_spark.operators.mp4codec import encode_mp4_mjpeg
+
+    with pytest.raises(ValueError, match="ISO-BMFF"):
         decode_real(b"xx", "video/mp4")
+    mp4 = bytearray(encode_mp4_mjpeg(
+        [np.zeros((8, 8, 3), dtype=np.uint8)] * 2, fps=10))
+    i = mp4.find(b"jpeg", mp4.find(b"stsd"))
+    mp4[i:i + 4] = b"avc1"  # same tables, H.264 sample entry
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_real(bytes(mp4), "video/mp4")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"xx", "audio/mpeg")
 
 
 def test_ppm_roundtrip_and_real_resize():
@@ -392,3 +407,93 @@ def test_avi_zero_frame_guards_resize_and_sample(spark):
             op()
         assert "no decodable frames" in str(ei.value) \
             or "no frames to sample" in str(ei.value)
+
+
+def test_mp4_roundtrip_probe_and_selective_decode():
+    """ISO-BMFF Motion-JPEG: encode -> probe (no decode) -> selective
+    frame decode -> full decode round-trip within JPEG tolerance."""
+    import numpy as np
+
+    from harvester_spark.operators.mp4codec import (decode_mp4_frames,
+                                                    decode_mp4_jpeg,
+                                                    encode_mp4_mjpeg,
+                                                    is_jpeg_coded_mp4,
+                                                    probe_mp4)
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    frames = [np.repeat(np.repeat(base + 11 * i, 8, axis=0), 8, axis=1)
+              .astype(np.uint8) for i in range(4)]
+    mp4 = encode_mp4_mjpeg(frames, fps=8)
+
+    meta = probe_mp4(mp4)
+    assert meta["n_frames"] == 4
+    assert meta["width"] == 16 and meta["height"] == 16
+    assert meta["fps"] == 8
+    assert meta["codec"] == "jpeg"
+    assert is_jpeg_coded_mp4(mp4)
+    assert not is_jpeg_coded_mp4(b"RIFFxxxxAVI " + b"\x00" * 64)
+    assert not is_jpeg_coded_mp4(b"\x00" * 80)
+
+    sel = decode_mp4_frames(mp4, [0, 3])
+    assert sorted(sel) == [0, 3]
+    full, meta2 = decode_mp4_jpeg(mp4)
+    assert len(full) == 4
+    assert (sel[3] == full[3]).all()
+    for want, got in zip(frames, full):
+        assert np.abs(want.astype(int) - got.astype(int)).max() <= 24
+
+
+def test_mp4_real_features_sampling_resize(spark, media):
+    """The media table's real MP4 rows must route through the in-engine
+    ISO-BMFF decoder in auto mode (features = frame count, not stub sha),
+    sample REAL frame shas, and resize frame-wise; opaque mp4 payloads
+    stay on the stub path."""
+    import hashlib
+
+    import numpy as np
+
+    from harvester_spark.operators.mp4codec import (decode_mp4_jpeg,
+                                                    is_jpeg_coded_mp4,
+                                                    probe_mp4)
+    from harvester_spark.operators.multimodal import (decode_real,
+                                                      extract_features,
+                                                      resize_images)
+
+    pdf = media.filter(F.col("mime") == "video/mp4").toPandas()
+    real = [r for _, r in pdf.iterrows()
+            if is_jpeg_coded_mp4(bytes(r["payload"]))]
+    stub = [r for _, r in pdf.iterrows()
+            if not is_jpeg_coded_mp4(bytes(r["payload"]))]
+    assert real and stub, "media table needs real AND opaque mp4 rows"
+    r = real[0]
+    frames, meta = decode_mp4_jpeg(bytes(r["payload"]))
+    feats = decode_real(bytes(r["payload"]), "video/mp4")
+    assert feats[0] == len(frames)
+    assert feats[1] == r["width"] and feats[2] == r["height"]
+
+    out = extract_features(media).toPandas().set_index("media_id")
+    assert out.loc[r["media_id"], "features"][0] == len(frames)
+    # opaque row: stub features (sha-derived, in [0,1) — frame count
+    # would be >= 1 at index 0 only by chance; check it's NOT a real
+    # decode by verifying determinism against the stub function
+    from harvester_spark.operators.multimodal import decode_stub_features
+    s = stub[0]
+    np.testing.assert_allclose(
+        out.loc[s["media_id"], "features"],
+        decode_stub_features(bytes(s["payload"]), "video/mp4"), rtol=1e-6)
+
+    sampled = sample_frames(media, every_ms=1000).toPandas()
+    mine = sampled[sampled["media_id"] == r["media_id"]]
+    assert len(mine) >= 1
+    want_sha = hashlib.sha256(frames[0].tobytes()).hexdigest()
+    assert mine.iloc[0]["frame_sha256"] == want_sha
+
+    resized = resize_images(media, 8, 8).toPandas().set_index("media_id")
+    rp = bytes(resized.loc[r["media_id"], "payload"])
+    rframes, rmeta = decode_mp4_jpeg(rp)
+    assert len(rframes) == len(frames)
+    assert rframes[0].shape == (8, 8, 3)
+    # opaque mp4 keeps identity payload in auto mode
+    assert bytes(resized.loc[stub[0]["media_id"], "payload"]) \
+        == bytes(stub[0]["payload"])
