@@ -170,16 +170,25 @@ def main() -> None:
             td.append((ids, info[t]["idf"] * tfn))
         union = len(np.unique(np.concatenate([x[0] for x in td])))
         total_postings = sum(len(x[0]) for x in td)
-        # exhaustive oracle
+        # exhaustive oracle (timed: the vectorized score-everything cost
+        # that any python-level pivoting traversal must BEAT to be worth
+        # adopting in this engine)
+        import time
+        t0 = time.time()
         allids = np.concatenate([x[0] for x in td])
         allsc = np.concatenate([x[1] for x in td])
         uniq, inv = np.unique(allids, return_inverse=True)
         scores = np.bincount(inv, weights=allsc)
         order = np.lexsort((uniq, -scores))[:10]
+        exhaustive_ms = (time.time() - t0) * 1000
         want = [(int(uniq[i]), float(scores[i])) for i in order]
 
+        t0 = time.time()
         wand = wand_simulate(td, 10, None)
+        wand_ms = (time.time() - t0) * 1000
+        t0 = time.time()
         bmw = wand_simulate(td, 10, 128)
+        bmw_ms = (time.time() - t0) * 1000
         for label, sim in (("wand", wand), ("bmw", bmw)):
             assert [d for d, _ in sim["topk"]] == [d for d, _ in want], \
                 (label, q)
@@ -196,6 +205,9 @@ def main() -> None:
             "bmw_blocks_total": bmw["blocks_total"],
             "bmw_block_skip_pct": round(
                 100 * (1 - bmw["blocks_opened"] / bmw["blocks_total"]), 2),
+            "exhaustive_numpy_ms": round(exhaustive_ms, 1),
+            "wand_python_ms": round(wand_ms, 1),
+            "bmw_python_ms": round(bmw_ms, 1),
         }
     print(json.dumps({"corpus_docs": n, "k": 10, "block": 128,
                       "queries": out}))
