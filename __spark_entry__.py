@@ -1478,6 +1478,32 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                F.col("keep").cast("int").alias("keep"))
     q["dedup_components"] = dedup_components
 
+    def contamination_probe(spark, sf):
+        # benchmark-decontamination: docs 0-4 play the eval set, the rest
+        # the training corpus; n=3 shingles so the oracle reuses the
+        # verified tokenizer+shingle SQL (op default is n=8)
+        from harvester_spark.operators.textstats import ngram_contamination
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") < 5)
+        corpus = docs.filter(F.col("doc_id") >= 5)
+        out = ngram_contamination(corpus, bench, content_col="text",
+                                  shingle_n=3, min_hits=2)
+        return out.select("doc_id", "n_hits",
+                          F.col("contaminated").cast("int")
+                          .alias("contaminated"))
+    q["contamination_probe"] = contamination_probe
+
+    def token_budgets(spark, sf):
+        # dataset-mixing accounting: per-lang docs, tokens, token share
+        from harvester_spark.operators.textstats import token_budget_by_group
+        out = token_budget_by_group(_docs(spark, sf), group_col="lang",
+                                    content_col="text")
+        return (out.select(F.col("group").alias("lang"), "n_docs",
+                           "n_tokens",
+                           _x10k(F.col("token_share")).alias("share_x10k"))
+                .orderBy("lang"))
+    q["token_budgets"] = token_budgets
+
     return q
 
 
@@ -1599,6 +1625,34 @@ SELECT d.doc_id,
        CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS keep
 FROM docs d LEFT JOIN comps c ON c.node = d.doc_id
+"""
+
+    SH3 = (f"CASE WHEN len({DOC_TOKS}) = 0 THEN []::VARCHAR[] "
+           f"ELSE list_distinct(list_transform("
+           f"range(1, greatest(len({DOC_TOKS}) - 2, 1) + 1), "
+           f"i -> concat_ws(' ', {DOC_TOKS}[i], {DOC_TOKS}[i+1], "
+           f"{DOC_TOKS}[i+2]))) END")
+    o["contamination_probe"] = f"""
+WITH sh AS (SELECT doc_id, unnest({SH3}) AS s FROM documents),
+b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+hits AS (
+  SELECT sh.doc_id, count(DISTINCT sh.s) AS n_hits
+  FROM sh JOIN b ON sh.s = b.s WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(h.n_hits, 0) >= 2 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id >= 5
+"""
+
+    o["token_budgets"] = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len({DOC_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_tokens,
+       {X10K.format(v="n_tokens::DOUBLE / sum(n_tokens) OVER ()")}
+         AS share_x10k
+FROM per ORDER BY lang
 """
 
     return o

@@ -140,10 +140,20 @@ def main() -> None:
               os.environ.get("BENCH_LEVELS", "2,8").split(",")]
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     results: dict[int, dict] = {}
-    # interleave levels across trials so machine-level drift (this VM's
-    # throughput fluctuates run to run) hits both levels equally; keep the
-    # best run per level (steady-state capability)
+    # Drift design: this VM's wall-clock throughput swings up to ±40%
+    # between MINUTES-apart windows (measured 63-101 s for the identical
+    # local[2] build in one afternoon) while a given back-to-back pair
+    # shares one machine state. So each trial runs BOTH levels
+    # consecutively and yields one PAIRED efficiency; the headline is the
+    # MEDIAN of paired ratios — cross-window drift cancels inside each
+    # pair instead of letting two different windows' best-ofs form the
+    # ratio (which measured anywhere from 0.71 to 1.06 "efficiency" for
+    # unchanged code). Per-level bests are still kept for the throughput
+    # table (steady-state capability).
+    pair_effs: list[float] = []
+    ratio = levels[1] / levels[0]
     for t in range(trials):
+        trial_res: dict[int, dict] = {}
         for cores in levels:
             env = dict(os.environ, ROLE="worker", CORES=str(cores))
             proc = subprocess.run([sys.executable, __file__], env=env,
@@ -154,19 +164,24 @@ def main() -> None:
                 print(proc.stdout[-3000:], proc.stderr[-3000:])
                 raise RuntimeError(f"worker cores={cores} failed")
             res = json.loads(line[-1][len("RESULT "):])
+            trial_res[cores] = res
             if cores not in results or res["build_sec"] < results[cores]["build_sec"]:
                 results[cores] = res
             print(f"trial {t} cores={cores}: {res['build_sec']}s")
+        e = (trial_res[levels[0]]["build_sec"]
+             / trial_res[levels[1]]["build_sec"]) / ratio
+        pair_effs.append(round(e, 3))
+        print(f"trial {t} paired efficiency: {e:.3f}")
 
     lo, hi = results[levels[0]], results[levels[1]]
-    ratio = levels[1] / levels[0]
     speedup = lo["build_sec"] / hi["build_sec"]
-    eff = speedup / ratio
+    eff = sorted(pair_effs)[len(pair_effs) // 2]
     summary = {"n_docs": lo["docs"], f"local{levels[0]}": lo,
                f"local{levels[1]}": hi,
                "speedup": round(speedup, 3),
                "core_ratio": ratio,
-               "scaling_efficiency": round(eff, 3)}
+               "paired_efficiencies": pair_effs,
+               "scaling_efficiency": eff}
     print(json.dumps(summary))
 
     # one raw-results file per level-pair; BENCH.md itself is curated by
@@ -190,8 +205,10 @@ best of 2 trials.
 | throughput (docs/sec) | {lo['docs_per_sec']:,} | {hi['docs_per_sec']:,} |
 | mean top-k query latency (s) | {lo['mean_query_sec']} | {hi['mean_query_sec']} |
 
-- speedup {levels[0]}→{levels[1]} cores: **{speedup:.2f}×** (core ratio {ratio:.0f}×)
-- **scaling efficiency: {eff:.3f}** (target ≥ 0.8)
+- speedup {levels[0]}→{levels[1]} cores (best-of per level): **{speedup:.2f}×** (core ratio {ratio:.0f}×)
+- **scaling efficiency: {eff:.3f}** (target ≥ 0.8) — median of per-trial
+  PAIRED ratios {pair_effs} (each trial runs both levels back-to-back so
+  the ±40% between-window VM drift cancels inside the pair)
 
 Per-stage seconds (local[{levels[1]}]): {json.dumps({s['stage']: s.get('seconds') for s in hi['stages']})}
 

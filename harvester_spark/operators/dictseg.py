@@ -239,6 +239,58 @@ def write_dict_segment(rows: Iterable, out_dir: str | Path, *,
                    block_size)
 
 
+def write_dict_segment_from_parquet(dict_dir: str | Path,
+                                    ub_dir: str | Path | None,
+                                    out_dir: str | Path, *,
+                                    block_size: int = 128,
+                                    small_threshold: int = 262_144
+                                    ) -> dict | None:
+    """ZERO-Spark-job small-dictionary path: read the committed
+    ``dictionary`` and ``term_ub`` stage tables straight from parquet
+    (pyarrow, driver-local), merge on term, encode.
+
+    The Spark small path costs 2-3 fixed-overhead jobs (a count + a
+    join + a collect) — measured ~2 s of the build tail at ANY core
+    count, a pure Amdahl drag on scaling (the r5 paired-efficiency runs
+    put the whole term_ub→dictseg chain at 2.8 s serial). At ≤262k terms
+    the same work is ~0.5 s of driver pyarrow+encode. Returns the commit
+    info, or None when not applicable (dirs not locally readable, above
+    threshold, pyarrow missing) — the caller then falls back to
+    :func:`write_dict_segment_spark`. Only valid on a driver that can
+    read the index directory as a local filesystem (true for local mode
+    and POSIX shared-fs clusters; object-store layouts fall back)."""
+    try:
+        import pandas as pd
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    d = Path(dict_dir)
+    dfiles = sorted(d.glob("*.parquet")) if d.exists() else []
+    if not dfiles:
+        return None
+    try:
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in dfiles)
+        if n > small_threshold:
+            return None
+        dt = pq.read_table(dfiles, columns=["term", "df", "idf"]).to_pandas()
+        u = Path(ub_dir) if ub_dir is not None else None
+        ufiles = sorted(u.glob("*.parquet")) if u is not None and u.exists() \
+            else []
+        if ufiles:
+            ub = pq.read_table(ufiles,
+                               columns=["term", "max_tfnorm"]).to_pandas()
+            dt = dt.merge(ub, on="term", how="left")
+        else:
+            dt["max_tfnorm"] = float("nan")
+        dt = dt.sort_values("term", kind="mergesort")  # == UTF-8 byte order
+        rows = ((t, int(df_), float(idf), None if pd.isna(mt) else float(mt))
+                for t, df_, idf, mt in zip(dt["term"], dt["df"], dt["idf"],
+                                           dt["max_tfnorm"]))
+        return write_dict_segment(rows, out_dir, block_size=block_size)
+    except (OSError, KeyError):
+        return None  # unreadable layout: let the Spark writer handle it
+
+
 def write_dict_segment_spark(df, out_dir: str | Path, *,
                              block_size: int = 128,
                              terms_per_part: int = 65_536,

@@ -129,3 +129,58 @@ def fingerprint(docs: DataFrame, *, content_col: str = "content",
 
     return docs.select(F.col(id_col).alias("doc_id"),
                        tokens_bundle(content_col, prints))
+
+
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame, *,
+                        content_col: str = "content",
+                        id_col: str = "doc_id", shingle_n: int = 8,
+                        min_hits: int = 1) -> DataFrame:
+    """Benchmark-contamination probe for training-data curation: flag
+    corpus docs sharing ≥ ``min_hits`` DISTINCT token n-grams with a
+    benchmark/eval set (the standard n-gram-overlap decontamination test;
+    the reference's analogue is its md5 dedup-against-a-cache role,
+    image_harvest.py:201-257, generalized to textual n-gram collisions).
+
+    Scale shape: the benchmark is the small side by definition (eval sets
+    are thousands of docs, the corpus is the 100 TB side), so its distinct
+    shingle set BROADCASTS and the probe costs one corpus shingle pass +
+    a map-side hash semi-join + one groupBy — no corpus self-join, no
+    wide shuffle beyond the per-doc hit count.
+
+    Returns one row per corpus doc: (doc_id, n_hits, contaminated)."""
+    from harvester_spark.operators.dedup import shingles_expr
+
+    bsh = (benchmark
+           .select(F.explode(shingles_expr(content_col, shingle_n))
+                   .alias("sh"))
+           .distinct())
+    dsh = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(shingles_expr(content_col, shingle_n))
+                      .alias("sh"))
+    hits = (dsh.join(F.broadcast(bsh), "sh")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("sh").alias("n_hits")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") >= min_hits))
+
+
+def token_budget_by_group(docs: DataFrame, *, group_col: str = "lang",
+                          content_col: str = "content") -> DataFrame:
+    """Per-group token accounting for dataset-mixing decisions:
+    (group, n_docs, n_tokens, share of total tokens). One groupBy with
+    map-side partial agg; the share is a window over the GROUPS table
+    (a handful of rows — the single-partition window is on the tiny
+    aggregate, never the corpus)."""
+    from pyspark.sql import Window
+
+    per = (docs.groupBy(F.col(group_col).alias("group"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(tokens_expr(content_col)).cast("long"))
+                .alias("n_tokens")))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select("group", "n_docs", "n_tokens",
+                      (F.col("n_tokens") / total).alias("token_share"))

@@ -166,6 +166,51 @@ def test_index_handle_uses_segment(spark, tmp_path):
     h.unpersist()
 
 
+def test_parquet_fast_path_matches_spark_writer(spark, tmp_path):
+    """The zero-Spark-job pyarrow path (small-vocab builds) must produce
+    a segment with identical lookups to the Spark join+collect writer,
+    including absent max_tfnorm and the above-threshold fallback."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.dictseg import (
+        write_dict_segment_from_parquet, write_dict_segment_spark)
+
+    terms = [f"t{i:05d}" for i in range(997)]
+    dic = pd.DataFrame({"term": terms,
+                        "df": [(i % 50) + 1 for i in range(997)],
+                        "idf": [1.0 + (i % 7) / 7 for i in range(997)]})
+    ub = pd.DataFrame({"term": terms[::2],   # half the terms have a UB
+                       "max_tfnorm": [0.25 + (i % 3) for i in
+                                      range(len(terms[::2]))]})
+    ddir, udir = tmp_path / "dictionary", tmp_path / "term_ub"
+    spark.createDataFrame(dic).write.parquet(str(ddir))
+    spark.createDataFrame(ub).write.parquet(str(udir))
+
+    out_a = tmp_path / "seg_pyarrow"
+    info = write_dict_segment_from_parquet(ddir, udir, out_a)
+    assert info is not None and info["n_terms"] == 997
+
+    sdf = (spark.read.parquet(str(ddir))
+           .join(spark.read.parquet(str(udir)), "term", "left")
+           .select("term", "df", "idf", "max_tfnorm"))
+    out_b = tmp_path / "seg_spark"
+    write_dict_segment_spark(sdf, out_b, n_terms=997)
+
+    sa, sb = DictSegment(out_a), DictSegment(out_b)
+    for t in terms:
+        assert sa.get(t) == sb.get(t), t
+    assert sa.get(terms[1])["max_tfnorm"] is None  # odd index: no UB row
+    sa.close(), sb.close()
+
+    # above threshold: not applicable -> None (caller falls back)
+    assert write_dict_segment_from_parquet(
+        ddir, udir, tmp_path / "x", small_threshold=100) is None
+    # missing dir -> None
+    assert write_dict_segment_from_parquet(
+        tmp_path / "nope", udir, tmp_path / "y") is None
+
+
 def test_distributed_writer_matches_driver_writer(spark, tmp_path):
     """write_dict_segment_spark must produce a segment with identical
     lookup results to the driver-streamed writer, across part splits."""
