@@ -1493,6 +1493,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("contaminated"))
     q["contamination_probe"] = contamination_probe
 
+    def hash_split(spark, sf):
+        # deterministic held-out split: md5-prefix bucket hash, engine-
+        # independent (the same md5 trick simhash_pairs proved
+        # bit-identical in DuckDB)
+        from harvester_spark.operators.textstats import hash_split as hs
+        return hs(_docs(spark, sf), test_per_10k=700).orderBy("doc_id")
+    q["hash_split"] = hash_split
+
     def token_budgets(spark, sf):
         # dataset-mixing accounting: per-lang docs, tokens, token share
         from harvester_spark.operators.textstats import token_budget_by_group
@@ -1642,6 +1650,17 @@ SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
        CASE WHEN coalesce(h.n_hits, 0) >= 2 THEN 1 ELSE 0 END AS contaminated
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id >= 5
+"""
+
+    o["hash_split"] = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+           AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 700 THEN 'test' ELSE 'train' END AS split
+FROM h ORDER BY doc_id
 """
 
     o["token_budgets"] = f"""

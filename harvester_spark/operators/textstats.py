@@ -184,3 +184,25 @@ def token_budget_by_group(docs: DataFrame, *, group_col: str = "lang",
     total = F.sum("n_tokens").over(Window.partitionBy())
     return per.select("group", "n_docs", "n_tokens",
                       (F.col("n_tokens") / total).alias("token_share"))
+
+
+def hash_split(docs: DataFrame, *, id_col: str = "doc_id",
+               test_per_10k: int = 500, buckets: int = 10_000) -> DataFrame:
+    """Deterministic held-out split for training pipelines: every doc
+    lands in 'train' or 'test' purely by a hash of its id, so the split
+    is reproducible across runs, machines and engines (no RNG state, no
+    sampling order dependence — the property `sample()` cannot give).
+
+    The bucket hash is the md5-prefix form (:func:`~harvester_spark.
+    operators.dedup.md5_hash64_expr` pattern) — bit-identical in DuckDB,
+    so the split is oracle-checkable; ``test_per_10k`` of every
+    ``buckets``-bucket range go to 'test'. One narrow projection, no
+    shuffle, no state."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(buckets))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < test_per_10k, F.lit("test"))
+        .otherwise(F.lit("train")).alias("split"))

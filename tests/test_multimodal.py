@@ -497,3 +497,73 @@ def test_mp4_real_features_sampling_resize(spark, media):
     # opaque mp4 keeps identity payload in auto mode
     assert bytes(resized.loc[stub[0]["media_id"], "payload"]) \
         == bytes(stub[0]["payload"])
+
+
+def test_mp4_multichunk_and_co64_demux():
+    """The reader must honor stsc runs (samples spread over several
+    chunks) and 64-bit co64 offsets — layouts real muxers emit that our
+    single-chunk encoder does not. Built by hand from the same boxes."""
+    import struct
+
+    import numpy as np
+
+    from harvester_spark.operators.jpegcodec import encode_jpeg
+    from harvester_spark.operators.mp4codec import (_box, _full,
+                                                    decode_mp4_frames,
+                                                    probe_mp4)
+
+    frames = [np.full((8, 8, 3), 40 * i, dtype=np.uint8) for i in range(5)]
+    jpegs = [encode_jpeg(f, quality=90) for f in frames]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mdat = _box(b"mdat", b"".join(jpegs))
+    base = len(ftyp) + 8
+    offs = [base]
+    for j in jpegs[:-1]:
+        offs.append(offs[-1] + len(j))
+    # chunks: [s0, s1] [s2, s3] [s4] -> stsc runs (1,2),(3,1... wait spec:
+    # run entries are (first_chunk, samples_per_chunk, sdi); chunk 3 has 1
+    chunk_offs = [offs[0], offs[2], offs[4]]
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(
+        b"jpeg", struct.pack(">6xH", 1) + struct.pack(">HH12x", 0, 0)
+        + struct.pack(">HH", 8, 8) + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">IH", 0, 1) + b"\x05mjpeg" + b"\x00" * 26
+        + struct.pack(">Hh", 24, -1)))
+    stts = _full(b"stts", struct.pack(">III", 1, 5, 100))
+    stsc = _full(b"stsc", struct.pack(">I", 2)
+                 + struct.pack(">III", 1, 2, 1)    # chunks 1-2: 2 samples
+                 + struct.pack(">III", 3, 1, 1))   # chunk 3: 1 sample
+    stsz = _full(b"stsz", struct.pack(">II", 0, 5)
+                 + b"".join(struct.pack(">I", len(j)) for j in jpegs))
+    co64 = _full(b"co64", struct.pack(">I", 3)
+                 + b"".join(struct.pack(">Q", c) for c in chunk_offs))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co64)
+    minf = _box(b"minf", _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0),
+                               flags=1)
+                + _box(b"dinf", _full(b"dref", struct.pack(">I", 1)
+                                      + _full(b"url ", b"", flags=1)))
+                + stbl)
+    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000, 500,
+                                      0x55C4, 0))
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                 + struct.pack(">III", 0, 0, 0) + b"V\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, 500)
+                 + struct.pack(">8x i H H", 0, 0, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + struct.pack(">II", 8 << 16, 8 << 16), flags=3)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 500)
+                 + struct.pack(">iH H 8x", 0x00010000, 0x0100, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+                 + struct.pack(">I", 2))
+    mp4 = ftyp + mdat + _box(b"moov", mvhd + trak)
+
+    meta = probe_mp4(mp4)
+    assert meta["n_frames"] == 5 and meta["fps"] == 10
+    dec = decode_mp4_frames(mp4)
+    assert sorted(dec) == [0, 1, 2, 3, 4]
+    for i, f in enumerate(frames):
+        assert np.abs(dec[i].astype(int) - f.astype(int)).max() <= 16, i
