@@ -173,9 +173,13 @@ def main() -> None:
         pair_effs.append(round(e, 3))
         print(f"trial {t} paired efficiency: {e:.3f}")
 
+    import statistics
+
     lo, hi = results[levels[0]], results[levels[1]]
     speedup = lo["build_sec"] / hi["build_sec"]
-    eff = sorted(pair_effs)[len(pair_effs) // 2]
+    # true median (even trial counts average the middle pair — the
+    # upper-middle element would report the optimistic pair as "median")
+    eff = round(statistics.median(pair_effs), 3)
     summary = {"n_docs": lo["docs"], f"local{levels[0]}": lo,
                f"local{levels[1]}": hi,
                "speedup": round(speedup, 3),

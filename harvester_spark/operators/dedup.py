@@ -213,15 +213,17 @@ def _watch_bucket_drops(sized: DataFrame, max_bucket: int,
     — off the caller's critical path either way.
 
     The watcher POLLS (it never parks on a blocking ``obs.get``): the JVM
-    Observation's ``getOrEmpty`` NPEs until the first action completes
-    (pre-action the metrics Row has a null schema), then returns the
-    metrics map — an unambiguous readiness probe. A caller that never
-    executes the plan therefore releases the thread at
-    ``_WATCH_TIMEOUT_S`` instead of leaking one parked daemon per
-    abandoned candidate plan (r4 ADVICE); plans first executed AFTER the
-    deadline lose only the warning — ``with_metrics=True`` remains the
-    accounting path. The persisted cache entry is MEMORY_ONLY-evictable,
-    so an abandoned plan's footprint under pressure is zero."""
+    Observation's ``future().isCompleted()`` is the DEFINED completion
+    signal — False until the first action over the observed plan
+    finishes, True after (verified empirically, including that it
+    completes even when the cached-subtree bug delivers an empty metrics
+    row). A caller that never executes the plan therefore releases the
+    thread at ``_WATCH_TIMEOUT_S`` instead of leaking one parked daemon
+    per abandoned candidate plan (r4 ADVICE); plans first executed AFTER
+    the deadline lose only the warning — ``with_metrics=True`` remains
+    the accounting path. The persisted cache entry is
+    MEMORY_ONLY-evictable, so an abandoned plan's footprint under
+    pressure is zero."""
     import threading
     import time
     import warnings
@@ -241,12 +243,14 @@ def _watch_bucket_drops(sized: DataFrame, max_bucket: int,
         deadline = time.monotonic() + _WATCH_TIMEOUT_S
         while True:
             try:
-                obs._jo.getOrEmpty()  # waits ≤100 ms JVM-side
-                break  # converts ⇒ the action completed
+                done = bool(obs._jo.future().isCompleted())
             except Exception:
-                if time.monotonic() >= deadline:
-                    return  # abandoned plan: release the thread
-                time.sleep(0.25)
+                done = False  # py4j hiccup: treat as not-ready, repoll
+            if done:
+                break
+            if time.monotonic() >= deadline:
+                return  # abandoned plan: release the thread
+            time.sleep(0.25)
         m = None
         try:
             m = obs.get  # action already done: returns immediately

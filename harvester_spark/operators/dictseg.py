@@ -269,6 +269,10 @@ def write_dict_segment_from_parquet(dict_dir: str | Path,
     if not dfiles:
         return None
     try:
+        # read/convert guarded BROADLY: any pyarrow/layout surprise
+        # (ArrowInvalid on an unsupported encoding, schema drift, IO
+        # errors) means "not applicable here" — the Spark writer reads
+        # the same tables through the JVM and handles them fine
         n = sum(pq.ParquetFile(f).metadata.num_rows for f in dfiles)
         if n > small_threshold:
             return None
@@ -282,13 +286,16 @@ def write_dict_segment_from_parquet(dict_dir: str | Path,
             dt = dt.merge(ub, on="term", how="left")
         else:
             dt["max_tfnorm"] = float("nan")
-        dt = dt.sort_values("term", kind="mergesort")  # == UTF-8 byte order
-        rows = ((t, int(df_), float(idf), None if pd.isna(mt) else float(mt))
-                for t, df_, idf, mt in zip(dt["term"], dt["df"], dt["idf"],
-                                           dt["max_tfnorm"]))
-        return write_dict_segment(rows, out_dir, block_size=block_size)
-    except (OSError, KeyError):
+    except Exception:
         return None  # unreadable layout: let the Spark writer handle it
+    # encode OUTSIDE the guard: an encoder error here (mis-sorted input,
+    # commit failure) is a real bug/IO fault that must surface, not be
+    # silently retried through the distributed path
+    dt = dt.sort_values("term", kind="mergesort")  # == UTF-8 byte order
+    rows = ((t, int(df_), float(idf), None if pd.isna(mt) else float(mt))
+            for t, df_, idf, mt in zip(dt["term"], dt["df"], dt["idf"],
+                                       dt["max_tfnorm"]))
+    return write_dict_segment(rows, out_dir, block_size=block_size)
 
 
 def write_dict_segment_spark(df, out_dir: str | Path, *,

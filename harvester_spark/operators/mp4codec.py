@@ -147,17 +147,28 @@ def _find_box(buf: bytes, pos: int, end: int, path: list[bytes]):
 
 
 _JPEG_ENTRIES = (b"jpeg", b"mjpa", b"MJPG", b"mjpg")
+# the same set as probe_mp4 reports it (str) — for callers that already
+# hold a probe result and must not re-parse just to ask the codec
+JPEG_CODEC_NAMES = tuple(e.decode("latin-1") for e in _JPEG_ENTRIES)
 
 
 def _video_track_tables(payload: bytes) -> dict:
     """Demux: locate the first video track and read its sample tables.
-    Returns {codec, width, height, fps, sizes, offsets}."""
+    Returns {codec, width, height, fps, sizes, offsets}. Truncated or
+    corrupt tables raise a clean ValueError (never a raw struct.error —
+    the same per-row contract the AVI parsers follow)."""
     if len(payload) < 16:
         raise ValueError("not an ISO-BMFF payload")
     boxes = {f: (b, e) for f, b, e in _walk_boxes(payload, 0, len(payload))}
     if b"ftyp" not in boxes or b"moov" not in boxes:
         raise ValueError("not an ISO-BMFF payload (no ftyp/moov)")
-    mb, me = boxes[b"moov"]
+    try:
+        return _scan_traks(payload, *boxes[b"moov"])
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated/corrupt ISO-BMFF tables: {e}") from e
+
+
+def _scan_traks(payload: bytes, mb: int, me: int) -> dict:
     for fourcc, tb, te in _walk_boxes(payload, mb, me):
         if fourcc != b"trak":
             continue
@@ -191,9 +202,16 @@ def _video_track_tables(payload: bytes) -> dict:
                     ">II", payload, t[b"stts"][0] + 8)
                 if delta:
                     fps = round(timescale / delta)
-        # stsz
+        # stsz — bound the declared count BEFORE allocating: every sample
+        # is ≥1 byte, so n can never exceed the payload length; a corrupt
+        # 0xFFFFFFFF count would otherwise build a ~34 GB list inside the
+        # cheap is_jpeg_coded_mp4 dispatch probe and OOM the worker
         zb = t[b"stsz"][0] + 4
         fixed, n = struct.unpack_from(">II", payload, zb)
+        if n > len(payload):
+            raise ValueError(
+                f"stsz declares {n} samples for a {len(payload)}-byte "
+                "payload")
         sizes = ([fixed] * n if fixed else
                  list(struct.unpack_from(f">{n}I", payload, zb + 8)))
         # chunk offsets (stco u32 / co64 u64)

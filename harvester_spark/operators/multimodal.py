@@ -443,28 +443,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from harvester_spark.operators.avicodec import (decode_avi_frames,
                                                         probe_avi)
-        from harvester_spark.operators.mp4codec import (decode_mp4_frames,
-                                                        is_jpeg_coded_mp4,
+        from harvester_spark.operators.mp4codec import (JPEG_CODEC_NAMES,
+                                                        decode_mp4_frames,
                                                         probe_mp4)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.mime in AVI_MIMES:
-                    probe_fn, frames_fn = probe_avi, decode_avi_frames
-                elif (r.mime in MP4_MIMES
-                      and is_jpeg_coded_mp4(bytes(r.payload))):
-                    probe_fn, frames_fn = probe_mp4, decode_mp4_frames
-                else:
-                    probe_fn = frames_fn = None
-                if use_stub is False and probe_fn is None:
+                payload = bytes(r.payload)
+                frames_fn = meta = None
+                # stub mode never parses; real MP4 dispatch reuses ONE
+                # probe for both the codec gate and the metadata (the
+                # sample tables are parsed once, not three times)
+                if use_stub is not True:
+                    if r.mime in AVI_MIMES:
+                        frames_fn = decode_avi_frames
+                        meta = probe_avi(payload)
+                    elif r.mime in MP4_MIMES:
+                        try:
+                            m0 = probe_mp4(payload)
+                            if m0.get("codec") in JPEG_CODEC_NAMES:
+                                frames_fn, meta = decode_mp4_frames, m0
+                        except ValueError:
+                            pass  # garbage/H.26x container: stub path
+                if use_stub is False and frames_fn is None:
                     # no decoder for this video payload: honest failure
                     # (mirrors decode_real's declared-stub contract)
-                    decode_real(bytes(r.payload), r.mime)
-                real = (probe_fn is not None and use_stub is not True)
+                    decode_real(payload, r.mime)
+                real = frames_fn is not None
                 n_frames = 0
                 if real:
-                    payload = bytes(r.payload)
-                    meta = probe_fn(payload)
                     n_frames = meta["n_frames"]
                     if not n_frames:
                         # a REAL container with zero frames must not

@@ -148,16 +148,26 @@ from weakref import WeakKeyDictionary
 _RELATION_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
 
 
+def _relation_key(path) -> str:
+    """Canonical cache key: resolve symlinks/relative forms so a build at
+    '/abs/idx' invalidates a query that opened 'idx' (and vice versa) —
+    un-normalized strings would serve a stale file listing after
+    rebuild."""
+    from pathlib import Path
+
+    return str(Path(path).resolve())
+
+
 def _read_vectors(spark, path) -> DataFrame:
     per = _RELATION_CACHE.setdefault(spark, {})
-    key = str(path)
+    key = _relation_key(path)
     if key not in per:
-        per[key] = spark.read.parquet(key)
+        per[key] = spark.read.parquet(str(path))
     return per[key]
 
 
 def _invalidate_relation(path) -> None:
-    key = str(path)
+    key = _relation_key(path)
     for per in _RELATION_CACHE.values():
         per.pop(key, None)
 

@@ -195,14 +195,17 @@ def hash_split(docs: DataFrame, *, id_col: str = "doc_id",
 
     The bucket hash is the md5-prefix form (:func:`~harvester_spark.
     operators.dedup.md5_hash64_expr` pattern) — bit-identical in DuckDB,
-    so the split is oracle-checkable; ``test_per_10k`` of every
-    ``buckets``-bucket range go to 'test'. One narrow projection, no
-    shuffle, no state."""
+    so the split is oracle-checkable. The test FRACTION is always
+    ``test_per_10k`` / 10,000 regardless of ``buckets`` (the cutoff is
+    rescaled to the bucket space — overriding ``buckets`` for finer or
+    coarser granularity must not silently change the ratio). One narrow
+    projection, no shuffle, no state."""
+    cut = int(round(test_per_10k * buckets / 10_000))
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
                16, 10).cast("long")
     bucket = F.pmod(h, F.lit(buckets))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         bucket.cast("long").alias("bucket"),
-        F.when(bucket < test_per_10k, F.lit("test"))
+        F.when(bucket < cut, F.lit("test"))
         .otherwise(F.lit("train")).alias("split"))

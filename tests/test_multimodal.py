@@ -567,3 +567,32 @@ def test_mp4_multichunk_and_co64_demux():
     assert sorted(dec) == [0, 1, 2, 3, 4]
     for i, f in enumerate(frames):
         assert np.abs(dec[i].astype(int) - f.astype(int)).max() <= 16, i
+
+
+def test_mp4_corrupt_tables_clean_errors():
+    """Review findings: a corrupt stsz count must not allocate (OOM bomb
+    inside the cheap dispatch probe), and truncated tables must raise a
+    clean ValueError, never a raw struct.error."""
+    import struct
+
+    import numpy as np
+
+    from harvester_spark.operators.mp4codec import (encode_mp4_mjpeg,
+                                                    is_jpeg_coded_mp4,
+                                                    probe_mp4)
+
+    mp4 = bytearray(encode_mp4_mjpeg(
+        [np.zeros((8, 8, 3), dtype=np.uint8)] * 2, fps=10))
+    # corrupt the stsz: fixed size 1, sample_count 0xFFFFFFFF
+    z = mp4.find(b"stsz")
+    struct.pack_into(">II", mp4, z + 8, 1, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="stsz declares"):
+        probe_mp4(bytes(mp4))
+    assert is_jpeg_coded_mp4(bytes(mp4)) is False  # and returns fast
+
+    # truncate mid-tables: clean ValueError (moov box claims more than
+    # the remaining bytes -> the walk stops; no trak tables found)
+    good = encode_mp4_mjpeg([np.zeros((8, 8, 3), dtype=np.uint8)] * 2)
+    with pytest.raises(ValueError):
+        probe_mp4(good[:len(good) - 40])
+    assert is_jpeg_coded_mp4(good[:len(good) - 40]) is False

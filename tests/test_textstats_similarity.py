@@ -303,3 +303,32 @@ def test_ann_builds_have_no_shuffle_join(spark):
         plan = f._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan, f"{name} build plans a join:\n{plan}"
         assert "Exchange" not in plan, f"{name} build shuffles:\n{plan}"
+
+
+def test_relation_cache_key_normalized(tmp_path):
+    """Review finding: the resolved-relation cache must key on canonical
+    paths so a build at /abs/dir invalidates a query that opened the
+    same dir via a relative/suffixed form."""
+    from harvester_spark.operators.similarity import _relation_key
+
+    d = tmp_path / "ann"
+    d.mkdir()
+    assert _relation_key(d) == _relation_key(tmp_path / "x" / ".." / "ann")
+    assert _relation_key(str(d)) == _relation_key(d)
+
+
+def test_hash_split_fraction_invariant_to_buckets(spark):
+    """Review finding: overriding `buckets` must rescale the cutoff so
+    the test FRACTION stays test_per_10k/10000 — and the split must be
+    deterministic across calls."""
+    from harvester_spark.operators.textstats import hash_split
+
+    docs = spark.range(4000).select(F.col("id").alias("doc_id"))
+    a = hash_split(docs, test_per_10k=2000, buckets=10).toPandas()
+    b = hash_split(docs, test_per_10k=2000, buckets=10_000).toPandas()
+    fa = (a["split"] == "test").mean()
+    fb = (b["split"] == "test").mean()
+    assert abs(fa - 0.2) < 0.05 and abs(fb - 0.2) < 0.05
+    c = hash_split(docs, test_per_10k=2000, buckets=10_000).toPandas()
+    assert (b.sort_values("doc_id")["split"].to_numpy()
+            == c.sort_values("doc_id")["split"].to_numpy()).all()
