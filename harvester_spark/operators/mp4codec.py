@@ -41,8 +41,6 @@ import numpy as np
 
 from harvester_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
 
-_TIMESCALE = 1000  # ms ticks: delta = 1000/fps
-
 
 def _box(fourcc: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + fourcc + payload
@@ -65,7 +63,11 @@ def encode_mp4_mjpeg(frames: list[np.ndarray], *, fps: int = 25,
             raise ValueError("all frames must share one size")
     jpegs = [encode_jpeg(f, quality=quality) for f in frames]
     n = len(jpegs)
-    delta = max(1, _TIMESCALE // fps)
+    # timescale = fps, one tick per frame: integer fps round-trips
+    # EXACTLY through mdhd/stts (a fixed ms timescale rounds 39 fps to
+    # 1000//39 ticks → probes back as 40)
+    timescale = max(1, int(fps))
+    delta = 1
     duration = n * delta
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
@@ -75,7 +77,7 @@ def encode_mp4_mjpeg(frames: list[np.ndarray], *, fps: int = 25,
     first_sample_off = len(ftyp) + 8
 
     mvhd = _full(b"mvhd", struct.pack(
-        ">IIII", 0, 0, _TIMESCALE, duration)
+        ">IIII", 0, 0, timescale, duration)
         + struct.pack(">iH H 8x", 0x00010000, 0x0100, 0)
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2))
@@ -84,7 +86,7 @@ def encode_mp4_mjpeg(frames: list[np.ndarray], *, fps: int = 25,
         + struct.pack(">8x i H H", 0, 0, 0)
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", w << 16, h << 16), flags=3)
-    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, _TIMESCALE,
+    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
                                       duration, 0x55C4, 0))
     hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide"
                  + struct.pack(">III", 0, 0, 0) + b"VideoHandler\x00")

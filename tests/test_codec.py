@@ -84,3 +84,35 @@ def test_avi_roundtrip_property(wcells, hcells, n_frames, fps):
     for a, b in zip(frames, out):
         assert a.shape == b.shape
         assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=60))
+def test_mp4_roundtrip_property(wcells, hcells, n_frames, fps):
+    """Random geometry/fps/frame-count Motion-JPEG MP4s demux back to the
+    same frame count, dims, fps, and near-identical pixels — the ISO-BMFF
+    mirror of the AVI geometry property above."""
+    from harvester_spark.operators.mp4codec import (decode_mp4_jpeg,
+                                                    encode_mp4_mjpeg,
+                                                    is_jpeg_coded_mp4,
+                                                    probe_mp4)
+
+    rng = np.random.default_rng(wcells * 100 + hcells * 10 + n_frames)
+    base = rng.integers(0, 256, (hcells, wcells, 3), dtype=np.uint8)
+    frames = [np.repeat(np.repeat(
+        np.clip(base.astype(np.int32) + 5 * i, 0, 255).astype(np.uint8),
+        8, axis=0), 8, axis=1) for i in range(n_frames)]
+    mp4 = encode_mp4_mjpeg(frames, fps=fps)
+    assert is_jpeg_coded_mp4(mp4)
+    meta = probe_mp4(mp4)
+    assert meta["n_frames"] == n_frames
+    assert (meta["width"], meta["height"]) == (wcells * 8, hcells * 8)
+    assert meta["fps"] == fps  # timescale=fps, delta=1: exact
+    out, _ = decode_mp4_jpeg(mp4)
+    assert len(out) == n_frames
+    for a, b in zip(frames, out):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
