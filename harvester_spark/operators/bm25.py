@@ -55,39 +55,102 @@ def tokenize_query(query: str) -> list[str]:
 # Path A: index-free, pure built-ins (SQL-expressible / oracle-checkable)
 # --------------------------------------------------------------------------
 
+# above this many query terms the per-term regexp_count projection gets
+# wide and the token-array form wins back; interactive/oracle queries are
+# single digits of terms
+_SCORES_MAX_TF_COLS = 32
+
+
 def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
                 content_col: str = "content", mode: str = "or",
                 k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """All matching docs with exact BM25 scores (no limit) — the building
     block for :func:`query_topk_dataframe` and for driver-oracle entries
-    that re-rank on rounded scores for cross-engine determinism."""
+    that re-rank on rounded scores for cross-engine determinism.
+
+    Plan shape (guide §2.4 "remove shuffles outright"): ONE narrow
+    projection computes dl and per-term tf via ``regexp_count`` (a token
+    is a maximal ``[a-z0-9_]+`` run, so ``(?<![a-z0-9_])term(?![a-z0-9_])``
+    occurrences ≡ matched-token count — no token arrays, no explode), ONE
+    broadcast aggregation derives N/avgdl/df for every term together, and
+    the score is a flat projection over the cached tf columns. The old
+    shape (tokenize → HOF match filter → explode → two groupBys → join)
+    paid the array-building tokenizer plus three exchanges; measured at
+    sf1.0 the tf projection pass is ~0.2 s vs ~2.4 s (numbers in
+    OPTIMIZATION_r06.md). Score equality: a term with tf=0 contributes
+    exactly 0.0 (the tfnorm numerator is ``tf * (k1+1)``), so the fixed
+    term-order sum equals the old matched-terms-only aggregation."""
     terms = tokenize_query(query)
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], SCORE_SCHEMA)
+    if len(terms) > _SCORES_MAX_TF_COLS:
+        return _bm25_scores_tokens(docs, terms, id_col=id_col,
+                                   content_col=content_col, mode=mode,
+                                   k1=k1, b=b)
 
     src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(content_col).alias("content"))
+    lc = F.lower(F.col("content"))
+    tf_cols = [
+        F.regexp_count(
+            lc, F.lit(rf"(?<![a-z0-9_])\Q{t}\E(?![a-z0-9_])"))
+        .cast("double").alias(f"__tf{i}")
+        for i, t in enumerate(terms)]
+    # MEMORY_ONLY: per-query cache entry with no unpersist hook — must be
+    # evictable under LRU pressure (worst case: recompute), not
+    # disk-accumulating across a serving session's queries
+    from pyspark import StorageLevel
+    proj = (src.select("doc_id",
+                       F.regexp_count(lc, F.lit(r"[a-z0-9_]+"))
+                       .cast("double").alias("dl"), *tf_cols)
+            .persist(StorageLevel.MEMORY_ONLY))
+    stats = proj.agg(
+        F.count("*").alias("N"), F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+          for i in range(len(terms))])
+    scored = proj.crossJoin(F.broadcast(stats))
+    parts = []
+    hits = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}")
+        dfc = F.col(f"__df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("N") - dfc + 0.5) / (dfc + 0.5))
+        parts.append(idf * tf * (k1 + 1.0)
+                     / (tf + k1 * (1.0 - b + b * F.col("dl")
+                                   / F.col("avgdl"))))
+    # nt counts terms present in the doc (== the old per-doc row count)
+    for i in range(len(terms)):
+        hits.append((F.col(f"__tf{i}") > 0).cast("int"))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    nt = hits[0]
+    for h in hits[1:]:
+        nt = nt + h
+    agg = scored.select("doc_id", score.alias("score"), nt.alias("nt"))
+    if mode == "and":
+        agg = agg.filter(F.col("nt") == len(terms))
+    else:
+        agg = agg.filter(F.col("nt") >= 1)
+    return agg.select("doc_id", "score")
 
-    # tokenize ONCE per row (lambda-bound) and filter to query terms
-    # BEFORE exploding: the generator emits only matching tokens instead
-    # of the full token stream (~avgdl rows per doc)
+
+def _bm25_scores_tokens(docs: DataFrame, terms: list[str], *, id_col: str,
+                        content_col: str, mode: str,
+                        k1: float, b: float) -> DataFrame:
+    """Token-array scorer (the pre-r6 shape) — fallback for very wide
+    queries where one regexp_count column per term stops being a win."""
     from harvester_spark.functions.tokenize import tokens_bundle
+
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(content_col).alias("content"))
 
     def match(toks):
         return F.struct(
             F.size(toks).alias("dl"),
             F.filter(toks, lambda t: t.isin(terms)).alias("matched"))
 
-    # ONE tokenize pass feeds both consumers: the global stats (which must
-    # see ALL docs, matches or not) and the match explode. The cached
-    # intermediate is (doc_id, dl, matched) — bytes per doc, not the
-    # corpus — and halves the dominant cost (content tokenization).
-    # MEMORY_ONLY deliberately: the per-query cache entry cannot be
-    # unpersisted from inside this lazy function, so it must be EVICTABLE
-    # — memory-only blocks age out under LRU pressure (worst case:
-    # recompute), where disk-backed blocks would accumulate per query for
-    # the life of a serving session.
     from pyspark import StorageLevel
     tok0 = (src.select("doc_id", tokens_bundle("content", match))
             .persist(StorageLevel.MEMORY_ONLY))

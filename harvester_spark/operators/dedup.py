@@ -127,12 +127,23 @@ def shingles_expr(content_col: str, n: int = 3):
 
 def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
                        id_col: str = "doc_id", num_hashes: int = 64,
-                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+                       shingle_n: int = 3, seed: int = 42,
+                       carry_exprs: dict | None = None) -> DataFrame:
     """(doc_id, sig array<long>) — 64 permuted min-hashes, all JVM-side.
 
     One explode + one groupBy; the 64 permutations are 64 aggregate
     expressions over the same shuffled rows (map-side partial min), so
     the shuffle volume is the shingle count, not shingles × permutations.
+    The permutation uses ``%`` (one modulo) instead of ``pmod`` (two):
+    ``h ≥ 0`` and ``a_i, b_i ≥ 0`` make the dividend non-negative, where
+    the two are identical — same signature values, half the modulo work
+    in the hottest per-row expression.
+
+    ``carry_exprs``: optional per-doc constant columns (name → Column over
+    the docs row) to ride the SAME aggregation via ``first()`` — e.g. the
+    rep-collapse content sha. Per-doc constants partial-aggregate map-side
+    to one row per doc, so carrying them here is one column in the
+    existing shuffle instead of a separate scan + join (guide §2.4).
 
     A zero-shuffle per-row form (bound shingle-hash array + 64 array_min
     HOF passes) was A/B'd interleaved at sf0.1 and LOST (best 2.57 s vs
@@ -142,14 +153,18 @@ def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
     min aggregates — the shuffle was partial-aggregated map-side anyway.
     """
     a, b = _perm_params(num_hashes, seed)
+    carry = carry_exprs or {}
     sh = (docs.select(F.col(id_col).alias("doc_id"),
+                      *[e.alias(n) for n, e in carry.items()],
                       F.explode(shingles_expr(content_col, shingle_n)).alias("sh"))
           .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_P))))
-    aggs = [F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]),
-                         F.lit(MERSENNE_P))).alias(f"h{i}")
+    aggs = [F.min((F.col("h") * F.lit(a[i]) + F.lit(b[i]))
+                  % F.lit(MERSENNE_P)).alias(f"h{i}")
             for i in range(num_hashes)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)])
+    sig = sh.groupBy("doc_id").agg(
+        *[F.first(n).alias(n) for n in carry], *aggs)
+    return sig.select("doc_id", *carry,
+                      F.array(*[f"h{i}" for i in range(num_hashes)])
                       .alias("sig"))
 
 
@@ -321,19 +336,19 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     from pyspark.sql import Window
 
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, content_col=content_col, id_col=id_col,
-                             num_hashes=num_hashes, shingle_n=shingle_n,
-                             seed=seed)
-    # rep-collapse on byte identity: sha2 arrives via a narrow projection
-    # joined to the SIGNATURE table (one row per doc, ~0.5 KB) — joining
-    # small tables instead of windowing over the corpus keeps the extra
-    # cost at one cheap scan + small-row shuffles. Zero-token docs have no
-    # signature row, so they drop out of stars AND banding here exactly as
-    # they always dropped out of banding (empty shingle set).
-    csha = docs.select(F.col(id_col).alias("doc_id"),
-                       F.sha2(F.col(content_col), 256).alias("csha"))
-    ann = (sig.join(csha, "doc_id")
-           .withColumn("rep", F.min("doc_id").over(Window.partitionBy("csha")))
+    # rep-collapse on byte identity: the content sha RIDES the signature
+    # aggregation as a first() column (per-doc constant → partial-aggregated
+    # map-side to one row per doc) — r5 joined a separate sha projection
+    # onto the signature table, which cost a second corpus scan plus a
+    # join exchange for the same bytes (guide §2.4). Zero-token docs have
+    # no signature row, so they drop out of stars AND banding here exactly
+    # as they always dropped out of banding (empty shingle set).
+    sig = minhash_signatures(
+        docs, content_col=content_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+        carry_exprs={"csha": F.sha2(F.col(content_col), 256)})
+    ann = (sig.withColumn("rep",
+                          F.min("doc_id").over(Window.partitionBy("csha")))
            .persist(StorageLevel.MEMORY_ONLY))
     star_pairs = (ann.filter(F.col("doc_id") != F.col("rep"))
                   .select(F.col("rep").alias("doc_a"),
@@ -378,10 +393,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
         pairs = pairs.persist(StorageLevel.MEMORY_ONLY)
         # compute shingles only for docs that appear in candidate pairs —
         # the candidate set is tiny next to the corpus, so a semi-join
-        # before the (expensive) shingle expression saves a full pass
-        cand_ids = (pairs.select(F.col("doc_a").alias("cid"))
-                    .union(pairs.select(F.col("doc_b").alias("cid")))
-                    .distinct())
+        # before the (expensive) shingle expression saves a full pass.
+        # ONE scan of the cached pairs (explode both sides), and no
+        # distinct: the broadcast left_semi join dedups for free, so the
+        # old union + distinct exchange bought nothing (guide §2.4)
+        cand_ids = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("cid"))
         docs_cand = docs.join(F.broadcast(cand_ids),
                               docs[id_col] == cand_ids["cid"], "left_semi")
         sh = docs_cand.select(F.col(id_col).alias("doc_id"),
@@ -432,19 +449,26 @@ def simhash(docs: DataFrame, *, content_col: str = "content",
     the per-(doc, term) tf pre-aggregation the old form shuffled through
     is pure overhead. A/B'd interleaved at sf0.1: 1.64 s vs 1.82 s best,
     fingerprints bit-identical; at corpus scale this removes a full
-    (doc, term, tf) exchange."""
+    (doc, term, tf) exchange.
+
+    The per-bit vote is aggregated as a plain ONES count + one shared
+    occurrence count instead of 64 ``when(bit==1, 1, -1)`` branches:
+    Σ±1 = 2·ones − n, so ``bit set ⟺ Σ±1 > 0 ⟺ 2·ones > n`` — exact
+    integer equivalence, and the map-side aggregation drops a compare +
+    branch per (occurrence × bit) — the dominant per-row cost of the
+    fingerprint stage (guide §1.2 "per-task work")."""
     tok = (docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(tokens_expr(content_col)).alias("t"))
            .withColumn("h", hash_expr(F.col("t"))))
     bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)))
+        .alias(f"b{i}")
         for i in range(bits)]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("n_occ"), *bit_sums)
     # shiftleft wraps at bit 63 (sign bit) without tripping ANSI overflow;
     # the addends occupy disjoint bits so the sum is exactly the bitwise OR
     fp = agg.select("doc_id", sum(
-        (F.when(F.col(f"b{i}") > 0,
+        (F.when(F.col(f"b{i}") * 2 > F.col("n_occ"),
                 F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
          for i in range(bits)), start=F.lit(0).cast("long"))
         .alias("simhash"))
@@ -596,8 +620,11 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
                     F.col("b.doc_id").alias("doc_b"),
                     F.bit_count(F.col("a.simhash").bitwiseXOR(
                         F.col("b.simhash"))).alias("hamming"))
-            .distinct()
+            # hamming BEFORE distinct: the filter is a function of the row,
+            # so filter∘distinct ≡ distinct∘filter — but filtering first
+            # shrinks the dedup exchange to the surviving pairs only
             .filter(F.col("hamming") <= max_hamming)
+            .distinct()
             .unionByName(zero_pairs))
     if with_metrics:
         return cand, metrics

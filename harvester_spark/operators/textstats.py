@@ -38,12 +38,12 @@ def bpe_ish_token_count_expr(content_col: str) -> Column:
     separately — a cheap, deterministic stand-in for a real tokenizer's
     token count (ratio ≈ chars/4 for code)."""
     c = F.col(content_col)
-    words = F.size(F.filter(
-        F.split(F.lower(c), r"[^a-z0-9_]+"), lambda t: t != F.lit("")))
+    # counts straight off the regex engine — no token arrays materialized:
+    # a token is a maximal [a-z0-9_]+ run, a long token is a maximal run
+    # of length > 8 (greedy matching makes {9,} hit each long run once)
+    words = F.regexp_count(F.lower(c), F.lit(r"[a-z0-9_]+"))
     # every 4 chars of long identifiers add a subword
-    extra = F.size(F.filter(
-        F.split(F.lower(c), r"[^a-z0-9_]+"),
-        lambda t: F.length(t) > F.lit(8)))
+    extra = F.regexp_count(F.lower(c), F.lit(r"[a-z0-9_]{9,}"))
     return (words + extra).alias("bpe_ish_tokens")
 
 
