@@ -450,8 +450,18 @@ def _theta_filter_localized(blocks: DataFrame, present: list[str],
     real score mass; bounding the complement from the rest-only slice
     would under-count it and prune unsafely."""
     W = range_docs
-    other = _localized_other_ub(bound_blocks if bound_blocks is not None
-                                else blocks, per_term, W)
+    # ONE collect of the (term, rid, other_ub) table, then two LOCAL
+    # relations for the rid_first/rid_last probes: referencing the lazy
+    # `other` plan from both broadcasts re-computed its two-aggregation
+    # subtree twice (two broadcast-build jobs scanning the postings cache);
+    # a local relation broadcast builds driver-side with zero scan jobs.
+    # Size class is unchanged — this exact table was already broadcast.
+    other_pdf = _localized_other_ub(
+        bound_blocks if bound_blocks is not None else blocks,
+        per_term, W).toPandas()
+    spark = blocks.sparkSession
+    other = spark.createDataFrame(
+        other_pdf, "term string, rid bigint, other_ub double")
     total_ub = sum(per_term.values())
     global_other = F.create_map(*[x for t in present for x in
                                   (F.lit(t), F.lit(total_ub - per_term[t]))])
@@ -515,7 +525,11 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
          for i, r in enumerate(rng_pdf.itertuples(index=False))],
         "lo long, hi long, ridx int")
 
-    # per-range complement sums: max UB per (range, other term), summed
+    # per-range complement sums: max UB per (range, other term) from ONE
+    # shuffle, the final per-range sum finished driver-side over the
+    # already-collected (ranges × terms)-bounded rows — the second
+    # groupBy bought a whole extra exchange + AQE stage for a sum the
+    # driver does in microseconds
     others_meta = (blocks.filter(F.col("term") != rarest)
                    .select("term", "doc_id_first", "doc_id_last", "ub"))
     per_rt = (others_meta.join(
@@ -523,10 +537,11 @@ def _and_range_prune(spark: SparkSession, blocks: DataFrame, rarest: str,
         (F.col("doc_id_last") >= F.col("lo"))
         & (F.col("doc_id_first") <= F.col("hi")))
         .groupBy("ridx", "term").agg(F.max("ub").alias("mx"))
-        .groupBy("ridx").agg(F.sum("mx").alias("other_sum"))
         .toPandas())
     other_sum = np.zeros(n_rng)
-    other_sum[per_rt["ridx"].to_numpy()] = per_rt["other_sum"].to_numpy()
+    if len(per_rt):
+        sums = per_rt.groupby("ridx")["mx"].sum()
+        other_sum[sums.index.to_numpy()] = sums.to_numpy()
     bound = rng_pdf["ub"].to_numpy() + other_sum
 
     # seed window: decode ALL terms' blocks overlapping the best-bound

@@ -428,3 +428,38 @@ def test_exact_duplicates_bounded_group_payload(spark):
     assert members.count() == n
     assert members.filter(F.col("doc_id") != F.col("keep_id")).count() == n - 1
     assert members.agg(F.max("keep_id")).first()[0] == 0
+
+
+def test_shingle_zip_construction_matches_reference(spark):
+    """The zip_with-fold shingle construction (r6 optimization) must be
+    array-identical to the reference per-position-slice form for every
+    n and token-count edge: empty, shorter-than-n, exactly-n, longer,
+    duplicate shingles (first-occurrence distinct order)."""
+    from pyspark.sql import functions as F
+
+    from harvester_spark.functions.tokenize import tokens_expr
+    from harvester_spark.operators.dedup import shingles_from_tokens
+
+    def reference(toks, n):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.transform(idx,
+                         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        return F.when(F.size(toks) == 0,
+                      F.array().cast("array<string>")) \
+                .otherwise(F.array_distinct(sh))
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "... !!"), (2, "one"), (3, "one two"),
+         (4, "one two three"), (5, "a b c d e f g"),
+         (6, "x y x y x y x y"),        # duplicate shingles
+         (7, "Mixed CASE tok_7 42 tok_7")],
+        "doc_id long, content string")
+    for n in (1, 2, 3, 4):
+        toks = tokens_expr("content")
+        bound = F.transform(F.array(toks),
+                            lambda t: F.struct(
+                                shingles_from_tokens(t, n).alias("new"),
+                                reference(t, n).alias("ref")))[0]
+        rows = docs.select(bound.alias("b")).collect()
+        for r in rows:
+            assert r["b"]["new"] == r["b"]["ref"], (n, r)
