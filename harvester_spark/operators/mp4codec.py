@@ -148,7 +148,15 @@ def _find_box(buf: bytes, pos: int, end: int, path: list[bytes]):
     return None
 
 
-_JPEG_ENTRIES = (b"jpeg", b"mjpa", b"MJPG", b"mjpg")
+# sample entries whose payloads are plain baseline-JFIF frames the JPEG
+# codec decodes whole. 'mjpa' (Motion-JPEG Format A) is deliberately NOT
+# here: its samples are dual-field (two interlaced fields with an APP1
+# 'mjpt' header each), so whole-sample decode_jpeg would return a
+# half-height first field or raise — it belongs to the declared
+# codec-level boundary (decode raises naming the codec; the auto dispatch
+# falls back to the stub path), matching the documented 'plain jpeg
+# entries only' contract.
+_JPEG_ENTRIES = (b"jpeg", b"MJPG", b"mjpg")
 # the same set as probe_mp4 reports it (str) — for callers that already
 # hold a probe result and must not re-parse just to ask the codec
 JPEG_CODEC_NAMES = tuple(e.decode("latin-1") for e in _JPEG_ENTRIES)
@@ -208,28 +216,48 @@ def _scan_traks(payload: bytes, mb: int, me: int) -> dict:
         # is ≥1 byte, so n can never exceed the payload length; a corrupt
         # 0xFFFFFFFF count would otherwise build a ~34 GB list inside the
         # cheap is_jpeg_coded_mp4 dispatch probe and OOM the worker
+
+        def _clamp(count: int, data_start: int, box_end: int,
+                   entry_size: int, what: str) -> None:
+            # every table's declared entry count must fit INSIDE its own
+            # box: a count that overruns the box while staying inside the
+            # payload would make unpack_from silently read the neighboring
+            # boxes' bytes as sizes/offsets (garbage slices instead of the
+            # intended clean error)
+            room = max(0, box_end - data_start) // entry_size
+            if count > room:
+                raise ValueError(
+                    f"{what} declares {count} entries but its box holds "
+                    f"at most {room}: truncated/corrupt ISO-BMFF tables")
+
         zb = t[b"stsz"][0] + 4
+        ze = t[b"stsz"][1]
         fixed, n = struct.unpack_from(">II", payload, zb)
         if n > len(payload):
             raise ValueError(
                 f"stsz declares {n} samples for a {len(payload)}-byte "
                 "payload")
+        if not fixed:
+            _clamp(n, zb + 8, ze, 4, "stsz")
         sizes = ([fixed] * n if fixed else
                  list(struct.unpack_from(f">{n}I", payload, zb + 8)))
         # chunk offsets (stco u32 / co64 u64)
         if b"stco" in t:
             cb = t[b"stco"][0] + 4
             (nch,) = struct.unpack_from(">I", payload, cb)
+            _clamp(nch, cb + 4, t[b"stco"][1], 4, "stco")
             chunks = list(struct.unpack_from(f">{nch}I", payload, cb + 4))
         else:
             cb = t[b"co64"][0] + 4
             (nch,) = struct.unpack_from(">I", payload, cb)
+            _clamp(nch, cb + 4, t[b"co64"][1], 8, "co64")
             chunks = list(struct.unpack_from(f">{nch}Q", payload, cb + 4))
         # stsc runs → samples per chunk
         spc = [1] * len(chunks)
         if b"stsc" in t:
             xb = t[b"stsc"][0] + 4
             (nr,) = struct.unpack_from(">I", payload, xb)
+            _clamp(nr, xb + 4, t[b"stsc"][1], 12, "stsc")
             runs = [struct.unpack_from(">III", payload, xb + 4 + 12 * i)
                     for i in range(nr)]
             for i, (first, per, _sdi) in enumerate(runs):
@@ -284,8 +312,10 @@ def decode_mp4_frames(payload: bytes,
     t = _video_track_tables(payload)
     if t["codec"] not in _JPEG_ENTRIES:
         raise NotImplementedError(
-            f"mp4 track codec {t['codec']!r} needs an H.26x-class "
-            "decoder; only JPEG-coded tracks decode in-engine")
+            f"mp4 track codec {t['codec']!r} is outside the in-engine "
+            "JPEG tier (H.26x-class codecs need an entropy decoder; "
+            "'mjpa' samples are dual-field Motion-JPEG-A); only "
+            "plain-JFIF JPEG-coded tracks decode in-engine")
     want = (range(len(t["sizes"])) if indices is None
             else [i for i in indices if 0 <= i < len(t["sizes"])])
     return {i: decode_jpeg(

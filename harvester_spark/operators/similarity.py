@@ -143,9 +143,22 @@ def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int, *,
 # resolved DataFrame is cached per (session, path); partition-pruning
 # filters still apply per query against the cached listing. Builds
 # invalidate their path via _invalidate_relation.
-from weakref import WeakKeyDictionary
+#
+# Lifetime: each session's cache dict hangs OFF the session object itself
+# (a private attribute), so a churned session is collectable as one
+# internal cycle (session → dict → DataFrame → session) with no global
+# root pinning it — the r5 WeakKeyDictionary kept dead sessions alive
+# because its VALUES strongly referenced their weak KEY. The module keeps
+# only a WeakSet of sessions so builds can invalidate a path across every
+# LIVE session without retaining any.
+#
+# Invalidation is IN-PROCESS only: an index rebuilt by a different
+# process serves this process's cached listing until it reopens — the
+# single-writer-in-process assumption is documented on the query_* APIs.
+from weakref import WeakSet
 
-_RELATION_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+_CACHING_SESSIONS: "WeakSet" = WeakSet()
+_CACHE_ATTR = "_harvester_relation_cache"
 
 
 def _relation_key(path) -> str:
@@ -159,7 +172,11 @@ def _relation_key(path) -> str:
 
 
 def _read_vectors(spark, path) -> DataFrame:
-    per = _RELATION_CACHE.setdefault(spark, {})
+    per = getattr(spark, _CACHE_ATTR, None)
+    if per is None:
+        per = {}
+        setattr(spark, _CACHE_ATTR, per)
+        _CACHING_SESSIONS.add(spark)
     key = _relation_key(path)
     if key not in per:
         per[key] = spark.read.parquet(str(path))
@@ -168,8 +185,10 @@ def _read_vectors(spark, path) -> DataFrame:
 
 def _invalidate_relation(path) -> None:
     key = _relation_key(path)
-    for per in _RELATION_CACHE.values():
-        per.pop(key, None)
+    for session in list(_CACHING_SESSIONS):
+        per = getattr(session, _CACHE_ATTR, None)
+        if per is not None:
+            per.pop(key, None)
 
 
 def _ann_build_frame(emb: DataFrame, planes: np.ndarray, id_col: str,
@@ -235,7 +254,12 @@ def query_ann_index(spark, index_dir, query_vec: list[float], k: int, *,
     """ANN top-k against a :func:`build_ann_index` layout.
 
     The ``bucket`` filter prunes to the probed partitions at planning time
-    — verified in tests via PartitionFilters in the explain output."""
+    — verified in tests via PartitionFilters in the explain output.
+
+    The resolved file listing is cached per (session, path) and
+    invalidated by in-process ``build_*`` calls only: an index rebuilt by
+    a DIFFERENT process is picked up after this process reopens (new
+    session, or a fresh in-process build over the same path)."""
     import json
     from pathlib import Path
 

@@ -148,18 +148,27 @@ def fingerprint(docs: DataFrame, *, content_col: str = "content",
 def ngram_contamination(docs: DataFrame, benchmark: DataFrame, *,
                         content_col: str = "content",
                         id_col: str = "doc_id", shingle_n: int = 8,
-                        min_hits: int = 1) -> DataFrame:
+                        min_hits: int = 1,
+                        broadcast_max_benchmark_docs: int = 1_000_000
+                        ) -> DataFrame:
     """Benchmark-contamination probe for training-data curation: flag
     corpus docs sharing ≥ ``min_hits`` DISTINCT token n-grams with a
     benchmark/eval set (the standard n-gram-overlap decontamination test;
     the reference's analogue is its md5 dedup-against-a-cache role,
     image_harvest.py:201-257, generalized to textual n-gram collisions).
 
-    Scale shape: the benchmark is the small side by definition (eval sets
-    are thousands of docs, the corpus is the 100 TB side), so its distinct
-    shingle set BROADCASTS and the probe costs one corpus shingle pass +
-    a map-side hash semi-join + one groupBy — no corpus self-join, no
-    wide shuffle beyond the per-doc hit count.
+    Scale shape (r6 hardening): the probe joins on ``xxhash64(shingle)``
+    — 8 bytes per entry — so the broadcast side of a real decontamination
+    union (tens of millions of distinct 8-grams across many benchmarks)
+    is tens of MB, not multi-GB of raw strings; a 64-bit collision inside
+    one document's hit set is the only way a count can differ from the
+    string form (~n²/2⁶⁵ per doc — negligible against the ≥-threshold
+    semantics). The corpus is scanned ONCE: ``explode_outer`` keeps
+    shingle-less docs, so the zero-fill left join the old shape paid a
+    second corpus scan for is gone. Benchmarks past
+    ``broadcast_max_benchmark_docs`` rows skip the broadcast hint and let
+    the planner pick a shuffle semi-join instead (one cheap count job on
+    the SMALL side buys the guard).
 
     Returns one row per corpus doc: (doc_id, n_hits, contaminated)."""
     from harvester_spark.operators.dedup import shingles_expr
@@ -167,18 +176,22 @@ def ngram_contamination(docs: DataFrame, benchmark: DataFrame, *,
     bsh = (benchmark
            .select(F.explode(shingles_expr(content_col, shingle_n))
                    .alias("sh"))
-           .distinct())
-    dsh = docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(shingles_expr(content_col, shingle_n))
-                      .alias("sh"))
-    hits = (dsh.join(F.broadcast(bsh), "sh")
+           .select(F.xxhash64("sh").alias("bh"))
+           .distinct()
+           .withColumn("__hit", F.lit(1)))
+    if benchmark.count() <= broadcast_max_benchmark_docs:
+        bsh = F.broadcast(bsh)
+    dsh = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode_outer(shingles_expr(content_col, shingle_n))
+                       .alias("sh"))
+           # NULL for the no-shingle marker row: null join keys never
+           # match, so an empty doc cannot collide with hash-of-null
+           .select("doc_id", F.when(F.col("sh").isNotNull(),
+                                    F.xxhash64("sh")).alias("bh")))
+    return (dsh.join(bsh, "bh", "left")
             .groupBy("doc_id")
-            .agg(F.count_distinct("sh").alias("n_hits")))
-    return (docs.select(F.col(id_col).alias("doc_id"))
-            .join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-                    .alias("n_hits"))
+            .agg(F.count_distinct(F.when(F.col("__hit") == 1, F.col("bh")))
+                 .alias("n_hits"))
             .withColumn("contaminated", F.col("n_hits") >= min_hits))
 
 

@@ -245,16 +245,19 @@ def test_term_cache_lru_bounded(spark, index_dir, oracle):
     from harvester_spark.operators.bm25 import open_index, tokenize_query
 
     h = open_index(spark, index_dir)
-    h.term_cache_max_entries = 50  # tiny budget: forces constant eviction
+    h.term_cache_max_entries = 200  # tiny budget: forces constant eviction
     vocab = [r["term"] for r in
              h.dictionary.select("term").limit(40).collect()]
     for t in vocab:  # serving loop over > cap distinct terms
         h._term_postings(t)
-        resident = sum(len(v[0]) for v in h._term_cache.values())
-        assert resident == h._term_cache_entries
+        # accounting charges max(len, 64) per term (r5 ADVICE: empty/rare
+        # postings still cost a cache slot + three array objects, so they
+        # must count toward eviction pressure)
+        charged = sum(max(len(v[0]), 64) for v in h._term_cache.values())
+        assert charged == h._term_cache_entries
         # bound: budget + the one just-decoded term (never evicted)
-        widest = max(len(v[0]) for v in h._term_cache.values())
-        assert resident <= 50 + widest
+        widest = max(max(len(v[0]), 64) for v in h._term_cache.values())
+        assert charged <= 200 + widest
     assert len(h._term_cache) < len(vocab)  # evictions actually happened
     # rank-identity survives eviction/re-decode churn
     q, k = "import def", 10
