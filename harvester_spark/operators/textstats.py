@@ -33,6 +33,32 @@ def token_count_expr(content_col: str) -> Column:
     return doc_len_expr(content_col)
 
 
+_ASCII_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+# Java regex \s — exactly these six, replicated so the translate forms
+# below stay value-identical to the regexp_replace definitions
+_JAVA_WS = " \t\n\x0b\f\r"
+_WORD_CHARS = _ASCII_LETTERS + "0123456789_"
+
+
+def n_alpha_expr(c: Column) -> Column:
+    """Count of ``[A-Za-z]`` chars — value-identical to
+    ``length(regexp_replace(c, '[^A-Za-z]', ''))`` (tested against it on
+    synthetic punct/whitespace/unicode rows) but via ``translate``:
+    deleting the 52 letters and subtracting from the length is a per-char
+    table lookup, and it avoids stacking a second regexp_replace into the
+    quality projection — two regexp_replace instances in one stage
+    measured ~1.4 s where each alone costs 0.13 s (pattern-cache
+    thrashing; OPTIMIZATION_r06.md)."""
+    return F.length(c) - F.length(F.translate(c, _ASCII_LETTERS, ""))
+
+
+def n_punct_expr(c: Column) -> Column:
+    """Count of chars outside ``[A-Za-z0-9_\\s]`` (Java ``\\s``) — the
+    translate twin of ``length(regexp_replace(c, '[A-Za-z0-9_\\s]', ''))``;
+    see :func:`n_alpha_expr` for why translate."""
+    return F.length(F.translate(c, _WORD_CHARS + _JAVA_WS, ""))
+
+
 def _token_set_count_expr(c: Column, words: list[str]) -> Column:
     """Count of token occurrences equal to any of ``words`` — one
     lookaround-guarded alternation ``regexp_count`` over the lowered
@@ -68,8 +94,8 @@ def quality_features(docs: DataFrame, *, content_col: str = "content",
     """
     c = F.col(content_col)
     n_chars = F.length(c)
-    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9_\s]", ""))
+    n_alpha = n_alpha_expr(c)
+    n_punct = n_punct_expr(c)
     en_stop = LANG_STOPWORDS["en"]
 
     def feats(toks):  # toks is lambda-bound: ONE tokenizer run per row

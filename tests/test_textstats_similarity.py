@@ -408,3 +408,32 @@ def test_contamination_broadcast_is_hashed_and_bounded(spark):
     # doc 1000 holds tokens tk0..tk9 -> 3 distinct 8-grams, all in bench
     assert rows[1000] == (3, True)
     assert rows[1001] == (0, False)
+
+
+def test_translate_char_counts_match_regex_forms(spark):
+    """r6: n_alpha/n_punct moved from regexp_replace to translate — the
+    two must agree on punctuation, every Java \\s char, digits,
+    underscores, and non-ASCII (the bench corpus has zero punct chars, so
+    only a synthetic fixture exercises these paths)."""
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.textstats import (n_alpha_expr,
+                                                     n_punct_expr)
+
+    rows = [(0, "Hello, World! 42_x"), (1, "a\tb\nc\x0bd\fe\rf g"),
+            (2, "¡unicode—ïs hérè¿ 中文"), (3, ""), (4, "!!!???...;;;"),
+            (5, "under_score_7 MIXED Case"), (6, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    c = F.col("content")
+    out = docs.select(
+        (n_alpha_expr(c) ==
+         F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))).alias("a_ok"),
+        (n_punct_expr(c) ==
+         F.length(F.regexp_replace(c, r"[A-Za-z0-9_\s]", ""))).alias("p_ok"),
+        c.isNull().alias("was_null")).collect()
+    for r in out:
+        if r["was_null"]:
+            # both forms propagate null
+            assert r["a_ok"] is None and r["p_ok"] is None
+        else:
+            assert r["a_ok"] and r["p_ok"], r
