@@ -105,20 +105,30 @@ def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
                        F.regexp_count(lc, F.lit(r"[a-z0-9_]+"))
                        .cast("double").alias("dl"), *tf_cols)
             .persist(StorageLevel.MEMORY_ONLY))
-    stats = proj.agg(
+    # global stats straight to the driver (one tiny row) instead of a
+    # broadcast-exchange crossJoin: idf/avgdl become plan literals that
+    # Catalyst constant-folds with the SAME JVM double ops (F.log over
+    # literal doubles), so scores are bit-identical while the query drops
+    # from three jobs (stats broadcast + dfreq broadcast + final) to two
+    row = proj.agg(
         F.count("*").alias("N"), F.avg("dl").alias("avgdl"),
         *[F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
-          for i in range(len(terms))])
-    scored = proj.crossJoin(F.broadcast(stats))
+          for i in range(len(terms))]).collect()[0]
+    if not row["N"] or row["avgdl"] is None:
+        # empty corpus, or every content NULL (all tf null → no doc can
+        # ever pass the nt filter) — same empty result the lazy form gave
+        return spark.createDataFrame([], SCORE_SCHEMA)
+    n_lit = F.lit(row["N"])
+    avgdl_lit = F.lit(float(row["avgdl"]))
     parts = []
     hits = []
     for i in range(len(terms)):
         tf = F.col(f"__tf{i}")
-        dfc = F.col(f"__df{i}")
-        idf = F.log(F.lit(1.0) + (F.col("N") - dfc + 0.5) / (dfc + 0.5))
+        dfc = F.lit(float(row[f"__df{i}"]))
+        idf = F.log(F.lit(1.0) + (n_lit - dfc + 0.5) / (dfc + 0.5))
         parts.append(idf * tf * (k1 + 1.0)
                      / (tf + k1 * (1.0 - b + b * F.col("dl")
-                                   / F.col("avgdl"))))
+                                   / avgdl_lit)))
     # nt counts terms present in the doc (== the old per-doc row count)
     for i in range(len(terms)):
         hits.append((F.col(f"__tf{i}") > 0).cast("int"))
@@ -128,7 +138,7 @@ def bm25_scores(docs: DataFrame, query: str, *, id_col: str = "doc_id",
     nt = hits[0]
     for h in hits[1:]:
         nt = nt + h
-    agg = scored.select("doc_id", score.alias("score"), nt.alias("nt"))
+    agg = proj.select("doc_id", score.alias("score"), nt.alias("nt"))
     if mode == "and":
         agg = agg.filter(F.col("nt") == len(terms))
     else:

@@ -138,10 +138,42 @@ def shingles_expr(content_col: str, n: int = 3):
                        lambda t: shingles_from_tokens(t, n))[0]
 
 
+def _minhash_signatures_kernel(docs: DataFrame, *, content_col: str,
+                               id_col: str, num_hashes: int,
+                               shingle_n: int, seed: int,
+                               with_sha: bool) -> DataFrame:
+    """Map-only signature table via the vectorized kernel
+    (operators/dedup_kernels.py): per-doc signatures are computed inside
+    each partition (pyarrow tokenize + bit-exact numpy xxhash64 + numpy
+    min-reduction), so there is NO explode, NO 64-agg hash aggregation
+    and NO groupBy exchange — the downstream sees one row per doc
+    straight off the scan. Values are identical to the JVM aggregation
+    (equality-tested in tests/test_dedup.py)."""
+    from harvester_spark.operators.dedup_kernels import minhash_sig_batches
+
+    a, b = _perm_params(num_hashes, seed)
+    a_np = np.asarray(a, dtype=np.int64)
+    b_np = np.asarray(b, dtype=np.int64)
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(content_col).alias("content"))
+    schema = ("doc_id long, " + ("csha string, " if with_sha else "")
+              + "sig array<long>")
+
+    def run(batches):
+        import pyarrow as pa
+        pa.set_cpu_count(1)
+        yield from minhash_sig_batches(batches, a=a_np, b=b_np,
+                                       shingle_n=shingle_n,
+                                       with_sha=with_sha)
+
+    return src.mapInArrow(run, schema)
+
+
 def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_n: int = 3, seed: int = 42,
-                       carry_exprs: dict | None = None) -> DataFrame:
+                       carry_exprs: dict | None = None,
+                       use_kernel: bool = True) -> DataFrame:
     """(doc_id, sig array<long>) — 64 permuted min-hashes, all JVM-side.
 
     One explode + one groupBy; the 64 permutations are 64 aggregate
@@ -164,7 +196,15 @@ def minhash_signatures(docs: DataFrame, *, content_col: str = "content",
     element, and 64 passes × ~200 shingles of interpreted pmod/multiply
     costs more than shuffling the shingle rows into whole-stage-codegen'd
     min aggregates — the shuffle was partial-aggregated map-side anyway.
+    (r6: a numpy mapInArrow kernel — NOT an interpreted HOF pass — now
+    beats both; ``use_kernel=False`` keeps this JVM aggregation form,
+    which the kernel is equality-tested against.)
     """
+    if use_kernel and carry_exprs is None:
+        return _minhash_signatures_kernel(
+            docs, content_col=content_col, id_col=id_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
+            with_sha=False)
     a, b = _perm_params(num_hashes, seed)
     carry = carry_exprs or {}
     sh = (docs.select(F.col(id_col).alias("doc_id"),
@@ -349,17 +389,18 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     from pyspark.sql import Window
 
     rows_per_band = num_hashes // bands
-    # rep-collapse on byte identity: the content sha RIDES the signature
-    # aggregation as a first() column (per-doc constant → partial-aggregated
-    # map-side to one row per doc) — r5 joined a separate sha projection
-    # onto the signature table, which cost a second corpus scan plus a
-    # join exchange for the same bytes (guide §2.4). Zero-token docs have
-    # no signature row, so they drop out of stars AND banding here exactly
-    # as they always dropped out of banding (empty shingle set).
-    sig = minhash_signatures(
+    # rep-collapse on byte identity: the content sha rides the signature
+    # KERNEL (hashlib sha256 hex == Spark sha2 hex over the same UTF-8
+    # bytes) — one map pass emits (doc_id, csha, sig) per doc with no
+    # explode, no 64-agg aggregation and no groupBy exchange at all
+    # (dedup_kernels.py; values equality-tested against the JVM form).
+    # Zero-token docs have no signature row, so they drop out of stars
+    # AND banding here exactly as they always dropped out of banding
+    # (empty shingle set).
+    sig = _minhash_signatures_kernel(
         docs, content_col=content_col, id_col=id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
-        carry_exprs={"csha": F.sha2(F.col(content_col), 256)})
+        with_sha=True)
     ann = (sig.withColumn("rep",
                           F.min("doc_id").over(Window.partitionBy("csha")))
            .persist(StorageLevel.MEMORY_ONLY))
@@ -469,7 +510,27 @@ def simhash(docs: DataFrame, *, content_col: str = "content",
     Σ±1 = 2·ones − n, so ``bit set ⟺ Σ±1 > 0 ⟺ 2·ones > n`` — exact
     integer equivalence, and the map-side aggregation drops a compare +
     branch per (occurrence × bit) — the dominant per-row cost of the
-    fingerprint stage (guide §1.2 "per-task work")."""
+    fingerprint stage (guide §1.2 "per-task work").
+
+    r6: with the DEFAULT ``hash_expr`` (xxhash64) the fingerprints come
+    from a map-only numpy kernel instead — same tokenizer kernels as the
+    index build, bit-exact numpy xxhash64, per-doc bit votes reduced in
+    numpy — which removes the token explode AND the groupBy exchange
+    (one output row per doc straight off the scan). Fingerprint values
+    are identical (equality-tested); a custom ``hash_expr`` (e.g. the
+    oracle's md5 form) keeps this JVM aggregation."""
+    if hash_expr is F.xxhash64:
+        from harvester_spark.operators.dedup_kernels import simhash_batches
+
+        src = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                          F.col(content_col).alias("content"))
+
+        def run(batches):
+            import pyarrow as pa
+            pa.set_cpu_count(1)
+            yield from simhash_batches(batches, bits=bits)
+
+        return src.mapInArrow(run, "doc_id long, simhash long")
     tok = (docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(tokens_expr(content_col)).alias("t"))
            .withColumn("h", hash_expr(F.col("t"))))

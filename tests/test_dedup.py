@@ -463,3 +463,55 @@ def test_shingle_zip_construction_matches_reference(spark):
         rows = docs.select(bound.alias("b")).collect()
         for r in rows:
             assert r["b"]["new"] == r["b"]["ref"], (n, r)
+
+
+def _kernel_parity_docs(spark):
+    rows = [(0, ""), (1, None), (2, "one"), (3, "two words"),
+            (4, "exactly three tokens"), (5, "a b c d e f g h i j"),
+            (6, "dup dup dup dup shingles here dup dup dup dup"),
+            (7, "Mixed CASE Tok_7 42 and punct!!! splits??"),
+            (8, "the quick brown fox jumps over the lazy dog " * 20),
+            (9, "identical content twin A"), (10, "identical content twin A"),
+            (11, "unicode tökens stay séparate 中文 here")]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_minhash_kernel_matches_jvm_signatures(spark):
+    """r6: the mapInArrow signature kernel must produce VALUE-IDENTICAL
+    (doc_id, sig) rows to the JVM explode+aggregate form — bit-exact
+    xxhash64 + same Carter-Wegman arithmetic — across every doc edge
+    (empty/null/short/duplicate-shingle/unicode)."""
+    docs = _kernel_parity_docs(spark)
+    for n in (1, 2, 3):
+        jvm = {r["doc_id"]: r["sig"] for r in minhash_signatures(
+            docs, shingle_n=n, use_kernel=False).collect()}
+        ker = {r["doc_id"]: r["sig"] for r in minhash_signatures(
+            docs, shingle_n=n, use_kernel=True).collect()}
+        assert ker == jvm, f"shingle_n={n}"
+
+
+def test_minhash_kernel_sha_matches_spark_sha2(spark):
+    from pyspark.sql import functions as F
+
+    from harvester_spark.operators.dedup import _minhash_signatures_kernel
+    docs = _kernel_parity_docs(spark).filter("content is not null")
+    want = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", F.sha2(F.col("content"), 256).alias("s")).collect()}
+    got = {r["doc_id"]: r["csha"] for r in _minhash_signatures_kernel(
+        docs, content_col="content", id_col="doc_id", num_hashes=8,
+        shingle_n=3, seed=42, with_sha=True).collect()}
+    for d, sha in got.items():  # kernel drops zero-token docs
+        assert sha == want[d]
+
+
+def test_simhash_kernel_matches_jvm(spark):
+    """r6: the default-path simhash kernel must emit identical
+    (doc_id, simhash) rows to the JVM sign-sum aggregation."""
+    from pyspark.sql import functions as F
+
+    docs = _kernel_parity_docs(spark)
+    jvm_fp = simhash(docs, hash_expr=lambda c: F.xxhash64(c))  # JVM form
+    ker_fp = simhash(docs)                                     # kernel
+    jvm = {r["doc_id"]: r["simhash"] for r in jvm_fp.collect()}
+    ker = {r["doc_id"]: r["simhash"] for r in ker_fp.collect()}
+    assert ker == jvm

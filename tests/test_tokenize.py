@@ -81,3 +81,32 @@ def test_three_engine_fuzz_parity(spark):
 def test_doc_len_expr(spark):
     df = spark.createDataFrame([("a b  c",), ("",)], "content string")
     assert [r[0] for r in df.select(doc_len_expr("content")).collect()] == [3, 0]
+
+
+def test_xxh64_numpy_matches_spark(spark):
+    """The vectorized numpy XXH64 must be BIT-EXACT vs Spark's xxhash64
+    (seed 42) — every length class (empty, <4, 4..7, 8..31, exact 32,
+    multi-stripe, stripe+every tail combination) plus unicode and random
+    fuzz. Exactness is what lets the dedup kernels swap in without moving
+    a single signature."""
+    import random
+    import string
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from harvester_spark.functions.xxh64 import xxh64_arrow
+
+    rng = random.Random(42)
+    fixed = ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+             "abcdefghi", "0123456789abcdef", "x" * 31, "y" * 32,
+             "z" * 33, "w" * 63, "v" * 64, "u" * 65, "t" * 100,
+             "Mixed CASE with spaces", "uni-ïçødé-中文-🎉", "tok_7 42"]
+    fuzz = ["".join(rng.choice(string.printable) for _ in range(rng.randrange(0, 120)))
+            for _ in range(500)]
+    vals = fixed + fuzz
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    want = [r["h"] for r in
+            df.select(F.xxhash64("s").alias("h")).collect()]
+    got = xxh64_arrow(pa.array(vals, type=pa.string())).tolist()
+    assert got == want
