@@ -40,12 +40,27 @@ def test_postings_column_pruning(spark, index_dir):
 def test_bm25_dataframe_scorer_plan(spark, corpus_df):
     corpus_df.cache().count()  # restore cache dropped by clearCache above
     plan = plan_of(bm25_scores(corpus_df, "import ident_3"))
-    # df-per-term join is tiny → broadcast, not sort-merge
+    # r6 shape: stats are collected to the driver and constant-folded, so
+    # the returned frame is a FLAT narrow projection over the cached tf
+    # table — no join, no aggregation, and no Exchange above the cache
+    # boundary (the corpus fixture's own cached lineage below the first
+    # InMemoryRelation may legitimately contain one)
+    own_plan = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange" not in own_plan, own_plan
+    assert "Join" not in own_plan and "HashAggregate" not in own_plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_bm25_dataframe_scorer_wide_fallback_plan(spark, corpus_df):
+    # >_SCORES_MAX_TF_COLS terms falls back to the token-array scorer —
+    # that path must keep its pre-r6 plan guarantees: tiny per-term join
+    # planned broadcast (not sort-merge) and partially-aggregated groupBys
+    corpus_df.cache().count()
+    wide_query = " ".join(f"term{i}" for i in range(40))
+    plan = plan_of(bm25_scores(corpus_df, wide_query))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # aggregations run with partial aggregation (two HashAggregate levels)
     assert plan.count("HashAggregate") >= 4
-    # tokenize+filter stays inside whole-stage codegen
     assert "codegen id" in plan
 
 
