@@ -48,6 +48,86 @@ def _merge_round(h: np.ndarray, v: np.ndarray) -> np.ndarray:
     return h * _P1 + _P4
 
 
+def _xxh64_fixed(mat: np.ndarray, L: int,
+                 seed: np.uint64 = SPARK_SEED) -> np.ndarray:
+    """XXH64 of ``n`` byte strings of IDENTICAL length ``L`` packed as the
+    rows of ``mat`` (n × mpad uint8, mpad = L rounded up to 8, zero-padded).
+    Same algorithm as :func:`xxh64` with every per-row mask and gather
+    collapsed to a scalar/column op — all rows share stripe and tail
+    counts, which is what makes the length-class dispatch in ``xxh64``
+    ~8× faster than the generic padded-matrix path (OPTIMIZATION_r06.md)."""
+    n = mat.shape[0]
+    words = mat.view("<u8")
+    words4 = mat.view("<u4")
+    with np.errstate(over="ignore"):
+        nstripes = L // 32
+        if L >= 32:
+            v1 = np.full(n, seed + _P1 + _P2, dtype=np.uint64)
+            v2 = np.full(n, seed + _P2, dtype=np.uint64)
+            v3 = np.full(n, seed, dtype=np.uint64)
+            v4 = np.full(n, seed - _P1, dtype=np.uint64)
+            for s in range(nstripes):
+                base = 4 * s
+                v1 = _round(v1, words[:, base + 0])
+                v2 = _round(v2, words[:, base + 1])
+                v3 = _round(v3, words[:, base + 2])
+                v4 = _round(v4, words[:, base + 3])
+            h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+                 + _rotl(v4, 18))
+            for v in (v1, v2, v3, v4):
+                h = _merge_round(h, v)
+        else:
+            h = np.full(n, seed + _P5, dtype=np.uint64)
+        h = h + np.uint64(L)
+
+        pos = nstripes * 32
+        for t in range((L - pos) // 8):
+            h = _rotl(h ^ _round(np.uint64(0), words[:, pos // 8 + t]),
+                      27) * _P1 + _P4
+        pos = pos + ((L - pos) // 8) * 8
+        if L - pos >= 4:
+            q = words4[:, pos // 4].astype(np.uint64)
+            h = _rotl(h ^ (q * _P1), 23) * _P2 + _P3
+            pos += 4
+        for t in range(L - pos):
+            bval = mat[:, pos + t].astype(np.uint64)
+            h = _rotl(h ^ (bval * _P5), 11) * _P1
+
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_by_length(data: np.ndarray, offsets: np.ndarray,
+                     lens: np.ndarray,
+                     seed: np.uint64 = SPARK_SEED) -> np.ndarray:
+    """Length-class dispatch: rows grouped by exact byte length, each class
+    gathered with ONE 2-D fancy index (off[:, None] + arange(L)) and hashed
+    mask-free by :func:`_xxh64_fixed`. Token/shingle batches concentrate in
+    a few dozen distinct lengths, so this replaces the per-byte
+    repeat/arange scatter of the generic path (its measured hot spot) with
+    a handful of contiguous block copies."""
+    n = lens.size
+    out = np.empty(n, dtype=np.uint64)
+    order = np.argsort(lens, kind="stable")
+    sl = lens[order]
+    starts = np.nonzero(np.concatenate(([True], sl[1:] != sl[:-1])))[0]
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        L = int(sl[s])
+        sel = order[s:e]
+        mpad = max(8, (L + 7) // 8 * 8)
+        mat = np.zeros((e - s, mpad), dtype=np.uint8)
+        if L:
+            idx = offsets[sel][:, None] + np.arange(L)[None, :]
+            mat[:, :L] = data[idx]
+        out[sel] = _xxh64_fixed(mat, L, seed)
+    return out.view(np.int64)
+
+
 def xxh64(data: np.ndarray, offsets: np.ndarray,
           seed: np.uint64 = SPARK_SEED) -> np.ndarray:
     """XXH64 of ``n`` byte strings packed in ``data`` (uint8) with
@@ -59,6 +139,13 @@ def xxh64(data: np.ndarray, offsets: np.ndarray,
     n = lens.size
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    # length-class fast path: pays off once there are enough rows per
+    # distinct length for the per-class vector ops to amortize; tiny or
+    # length-fragmented batches keep the generic padded path below
+    if n >= 2048:
+        n_lengths = np.unique(lens).size
+        if n_lengths <= max(64, n // 256):
+            return _xxh64_by_length(data, offsets[:-1], lens, seed)
     m = int(lens.max()) if n else 0
     mpad = max(8, (m + 7) // 8 * 8)
     mat = np.zeros((n, mpad), dtype=np.uint8)

@@ -22,11 +22,67 @@ limit, the same spirit as the index build's hot-term salting.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from harvester_spark.functions.tokenize import tokens_expr
+
+# Small-corpus driver fast path (minhash_lsh_pairs / simhash_near_pairs):
+# below these budgets the whole corpus is collected once and the pairs are
+# computed by the SAME vectorized kernels on the driver — two tiny jobs
+# instead of the ~10-14 AQE micro-jobs of the distributed DAG, whose fixed
+# per-stage costs dominate wall time at sub-GB corpus sizes (measured in
+# OPTIMIZATION_r06.md; same pattern as bm25's small_query_postings path).
+# The byte cap sits at the MEASURED crossover, not a memory limit: the
+# local kernels cost ~0.2-0.35 s/MB single-core while the distributed DAG
+# pays ~5-8 s of fixed stage/scheduling overhead before its parallelism
+# helps (numbers in OPTIMIZATION_r06.md), so ≤32 MB of text is where the
+# driver path wins outright — and it is drift-immune (2 jobs, no
+# stragglers). Production clusters can raise/lower or disable (≤0) via
+# env. Above the caps the distributed path runs unchanged, which is the
+# only path a 100 TB corpus can ever take — the probe job reads at most
+# cap+1 rows before falling back.
+_DRIVER_PAIRS_MAX_DOCS = int(os.environ.get(
+    "SPARK_GRAFT_DEDUP_DRIVER_DOCS", "262144"))
+_DRIVER_PAIRS_MAX_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_DEDUP_DRIVER_BYTES", str(32 << 20)))
+
+
+def _collect_small_docs(docs: DataFrame, content_col: str, id_col: str):
+    """(ids int64 ndarray, texts pa.Array, n_docs) when the corpus fits
+    the driver budgets, else None. One bounded probe job (reads ≤ cap+1
+    rows) + one collect."""
+    cap = _DRIVER_PAIRS_MAX_DOCS
+    if cap <= 0:
+        return None
+    probe = (docs.limit(cap + 1)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.coalesce(F.sum(F.octet_length(F.col(content_col))),
+                             F.lit(0)).alias("nb"))
+             .collect()[0])
+    if probe["n"] > cap or probe["nb"] > _DRIVER_PAIRS_MAX_BYTES:
+        return None
+    tbl = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(content_col).alias("content")).toArrow()
+    ids = tbl.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    texts = tbl.column("content").combine_chunks()
+    return ids, texts, int(probe["n"])
+
+
+def _pairs_drop_warning(metrics: dict, max_bucket: int, what: str) -> None:
+    import warnings
+
+    if metrics["dropped_buckets"]:
+        warnings.warn(
+            f"{what}: max_bucket={max_bucket} dropped "
+            f"{metrics['dropped_buckets']} bucket(s) covering "
+            f"{metrics['dropped_doc_entries']} doc entries — recall is "
+            f"reduced; pass with_metrics=True for full accounting or "
+            f"raise max_bucket", RuntimeWarning)
 
 # deterministic permutation parameters (seeded; public Carter-Wegman form
 # h_i(x) = (a_i * x + b_i) mod p over the xxhash64 shingle hash).
@@ -389,6 +445,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
     from pyspark.sql import Window
 
     rows_per_band = num_hashes // bands
+    # small-corpus driver fast path: identical pairs/metrics from the same
+    # kernels with two tiny jobs (see _collect_small_docs; equality-tested
+    # against the distributed DAG in tests/test_dedup.py)
+    small = _collect_small_docs(docs, content_col, id_col)
+    if small is not None:
+        return _minhash_pairs_driver(
+            docs.sparkSession, small, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, seed=seed, max_bucket=max_bucket,
+            jaccard_threshold=jaccard_threshold, with_metrics=with_metrics)
     # rep-collapse on byte identity: the content sha rides the signature
     # KERNEL (hashlib sha256 hex == Spark sha2 hex over the same UTF-8
     # bytes) — one map pass emits (doc_id, csha, sig) per doc with no
@@ -476,6 +541,74 @@ def minhash_lsh_pairs(docs: DataFrame, *, content_col: str = "content",
         pairs = pairs.unionByName(star_pairs)
     if with_metrics:
         return pairs, metrics
+    return pairs
+
+
+def _pairs_df(spark, rows: list, schema: str):
+    """Pair rows → DataFrame via pandas/Arrow (row-of-tuples conversion
+    measured ~1 s for 10^4-pair outputs; the Arrow path is ~ms)."""
+    import pandas as pd
+
+    names = [f.split()[0] for f in schema.split(",")]
+    if not rows:
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
+_PAIR_METRIC_COLS = ("dropped_buckets", "dropped_doc_entries",
+                     "max_dropped_size")
+
+
+def _metrics_df(spark, metrics: dict, ident_cols: tuple | None):
+    cols = list(_PAIR_METRIC_COLS) + (list(ident_cols) if ident_cols else [])
+    schema = ", ".join(f"{c} long" for c in cols)
+    return spark.createDataFrame(
+        [tuple(int(metrics[c]) for c in cols)], schema)
+
+
+def _minhash_pairs_driver(spark, small, *, num_hashes: int, bands: int,
+                          shingle_n: int, seed: int, max_bucket: int,
+                          jaccard_threshold: float | None,
+                          with_metrics: bool):
+    """Driver-side evaluation of minhash_lsh_pairs for small corpora —
+    same pairs, same metrics, two jobs (kernels in dedup_kernels.py)."""
+    from harvester_spark.operators.dedup_kernels import minhash_pairs_local
+
+    ids, texts, _n = small
+    a, b = _perm_params(num_hashes, seed)
+    res = minhash_pairs_local(
+        ids, texts, a=np.asarray(a, dtype=np.int64),
+        b=np.asarray(b, dtype=np.int64), bands=bands, shingle_n=shingle_n,
+        max_bucket=max_bucket, jaccard_threshold=jaccard_threshold)
+    schema = ("doc_a long, doc_b long"
+              + (", jaccard double" if jaccard_threshold is not None
+                 else ""))
+    pairs = _pairs_df(spark, res["pairs"], schema)
+    if with_metrics:
+        return pairs, _metrics_df(
+            spark, res["metrics"],
+            ("identical_content_groups", "identical_content_extra_docs"))
+    _pairs_drop_warning(res["metrics"], max_bucket, "minhash_lsh_pairs")
+    return pairs
+
+
+def _simhash_pairs_driver(spark, small, *, max_hamming: int, chunks: int,
+                          max_bucket: int, with_metrics: bool):
+    """Driver-side evaluation of simhash_near_pairs (default xxhash64
+    engine) — same pairs, same metrics, two jobs."""
+    from harvester_spark.operators.dedup_kernels import simhash_pairs_local
+
+    ids, texts, _n = small
+    res = simhash_pairs_local(ids, texts, max_hamming=max_hamming,
+                              chunks=chunks, max_bucket=max_bucket)
+    pairs = _pairs_df(spark, res["pairs"],
+                      "doc_a long, doc_b long, hamming int")
+    if with_metrics:
+        return pairs, _metrics_df(
+            spark, res["metrics"],
+            ("identical_fp_groups", "identical_fp_extra_docs"))
+    _pairs_drop_warning(res["metrics"], max_bucket, "simhash_near_pairs")
     return pairs
 
 
@@ -616,6 +749,22 @@ def simhash_near_pairs(docs: DataFrame, *, content_col: str = "content",
     import itertools
 
     k = max_hamming
+    # small-corpus driver fast path (default engine only — the md5 oracle
+    # form stays JVM so DuckDB parity is byte-for-byte the same exprs):
+    # identical pairs/metrics from the same kernels with two tiny jobs
+    if hash_expr is F.xxhash64:
+        small = _collect_small_docs(docs, content_col, id_col)
+        if small is not None:
+            if n_docs is None:
+                n_docs = small[2]
+            c = (chunks if chunks is not None
+                 else _simhash_chunk_plan(k, n_docs, target_bucket))
+            if c <= k:
+                raise ValueError(
+                    f"chunks={c} must exceed max_hamming={k}")
+            return _simhash_pairs_driver(
+                docs.sparkSession, small, max_hamming=k, chunks=c,
+                max_bucket=max_bucket, with_metrics=with_metrics)
     if chunks is None:
         if n_docs is None:
             n_docs = docs.count()

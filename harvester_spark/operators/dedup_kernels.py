@@ -104,7 +104,78 @@ def _shingle_hashes(flat, pnp: np.ndarray, counts: np.ndarray,
     # doc-grouped order for reduceat (full and short doc sets are
     # disjoint, but short rows must interleave back into doc order)
     order = np.argsort(par, kind="stable")
-    return np.remainder(h[order], MERSENNE_P), par[order]
+    h = h[order]
+    h %= MERSENNE_P  # in-place: h is already our private copy
+    return h, par[order]
+
+
+def _minhash_sig_matrix(h: np.ndarray, starts: np.ndarray, a: np.ndarray,
+                        b: np.ndarray, perm_block: int = 16) -> np.ndarray:
+    """Per-doc minhash signature matrix (n_docs × num_hashes int64) from
+    doc-grouped shingle hashes ``h`` (∈ [0, P)) with reduceat ``starts``.
+
+    Adaptive: when the batch has few DISTINCT hash values (synthetic /
+    boilerplate-heavy corpora), the permutations are computed once per
+    unique value into an int32 table and GATHERED per shingle — that
+    replaces the dominant (n_shingles × num_hashes) int64 multiply/add/mod
+    passes with a half-width gather and no modulo at all (values < 2^31
+    fit int32 exactly, so results are bit-identical). Above the ratio the
+    direct in-place form runs (Mersenne shift-fold was A/B'd slower: 7
+    memory passes of temporaries vs 3)."""
+    num_hashes = int(a.size)
+    nd = starts.size
+    sig = np.empty((nd, num_hashes), dtype=np.int64)
+    uq, inv = np.unique(h, return_inverse=True)
+    if uq.size <= h.size // 4:
+        for i0 in range(0, num_hashes, perm_block):
+            i1 = min(i0 + perm_block, num_hashes)
+            tbl = uq[:, None] * a[None, i0:i1]
+            tbl += b[None, i0:i1]
+            tbl %= MERSENNE_P
+            vals = tbl.astype(np.int32)[inv]
+            sig[:, i0:i1] = np.minimum.reduceat(vals, starts, axis=0)
+        return sig
+    for i0 in range(0, num_hashes, perm_block):
+        i1 = min(i0 + perm_block, num_hashes)
+        # h < 2^31, a < 2^31 → products < 2^62: exact in int64; in-place
+        # add+mod — the matrix is memory-traffic-bound on this host
+        vals = h[:, None] * a[None, i0:i1]
+        vals += b[None, i0:i1]
+        vals %= MERSENNE_P
+        sig[:, i0:i1] = np.minimum.reduceat(vals, starts, axis=0)
+    return sig
+
+
+def _simhash_fingerprints(h: np.ndarray, starts: np.ndarray,
+                          n_occ: np.ndarray, bits: int = 64,
+                          bit_block: int = 16) -> np.ndarray:
+    """Per-doc simhash fingerprints (uint64) from doc-grouped token hashes
+    ``h`` (uint64) with reduceat ``starts`` and per-doc occurrence counts
+    ``n_occ``. Same adaptive unique-value table as the signature matrix:
+    per-unique bit rows gathered as int16 (exact while every doc has
+    < 32767 occurrences — checked) instead of shifting/masking every
+    occurrence × bit in int64."""
+    nd = starts.size
+    fp = np.zeros(nd, dtype=np.uint64)
+    uq, inv = np.unique(h, return_inverse=True)
+    use_table = (uq.size <= h.size // 4
+                 and (n_occ.size == 0 or int(n_occ.max()) < 32000))
+    for i0 in range(0, bits, bit_block):
+        i1 = min(i0 + bit_block, bits)
+        shifts = np.arange(i0, i1, dtype=np.uint64)
+        if use_table:
+            tbl = ((uq[:, None] >> shifts[None, :])
+                   & np.uint64(1)).astype(np.int16)
+            bitsm = tbl[inv]
+        else:
+            bitsm = ((h[:, None] >> shifts[None, :])
+                     & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bitsm, starts, axis=0).astype(np.uint64)
+        set_mask = (ones * np.uint64(2)) > n_occ[:, None]
+        weights = (np.uint64(1) << shifts)[None, :]
+        fp |= np.bitwise_or.reduce(
+            np.where(set_mask, weights, np.uint64(0)), axis=1)
+    return fp
 
 
 def minhash_sig_batches(batches, *, a: np.ndarray, b: np.ndarray,
@@ -131,13 +202,7 @@ def minhash_sig_batches(batches, *, a: np.ndarray, b: np.ndarray,
         starts = np.nonzero(np.concatenate(
             ([True], par[1:] != par[:-1])))[0]
         nd = starts.size
-        sig = np.empty((nd, num_hashes), dtype=np.int64)
-        for i0 in range(0, num_hashes, perm_block):
-            i1 = min(i0 + perm_block, num_hashes)
-            # h < 2^31, a < 2^31 → products < 2^62: exact in int64
-            vals = (h[:, None] * a[None, i0:i1] + b[None, i0:i1]) \
-                % MERSENNE_P
-            sig[:, i0:i1] = np.minimum.reduceat(vals, starts, axis=0)
+        sig = _minhash_sig_matrix(h, starts, a, b, perm_block)
         cols = [pa.array(doc_ids[keep_rows], type=pa.int64())]
         names = ["doc_id"]
         if with_sha:
@@ -172,18 +237,247 @@ def simhash_batches(batches, *, bits: int = 64,
         starts = np.nonzero(np.concatenate(
             ([True], pnp[1:] != pnp[:-1])))[0]
         n_occ = counts[keep_rows].astype(np.uint64)
-        fp = np.zeros(keep_rows.size, dtype=np.uint64)
-        for i0 in range(0, bits, bit_block):
-            i1 = min(i0 + bit_block, bits)
-            shifts = np.arange(i0, i1, dtype=np.uint64)
-            bitsm = ((h[:, None] >> shifts[None, :])
-                     & np.uint64(1)).astype(np.int64)
-            ones = np.add.reduceat(bitsm, starts, axis=0).astype(np.uint64)
-            set_mask = (ones * np.uint64(2)) > n_occ[:, None]
-            weights = (np.uint64(1) << shifts)[None, :]
-            fp |= np.bitwise_or.reduce(
-                np.where(set_mask, weights, np.uint64(0)), axis=1)
+        fp = _simhash_fingerprints(h, starts, n_occ, bits, bit_block)
         yield pa.RecordBatch.from_arrays(
             [pa.array(doc_ids[keep_rows], type=pa.int64()),
              pa.array(fp.view(np.int64), type=pa.int64())],
             names=["doc_id", "simhash"])
+
+
+# ---------------------------------------------------------------------------
+# Driver-local pair computation (small-corpus fast path)
+#
+# The distributed LSH DAGs are ~10-14 AQE micro-jobs (kernel scan → rep
+# window → banding/blocking explode → capped bucket agg → pair explode →
+# verify joins); below a few hundred MB of text the whole computation fits
+# comfortably on the driver, where the SAME vectorized kernels run as a
+# handful of numpy passes with zero exchanges and exactly two tiny Spark
+# jobs (a bounded probe + one collect). Same pattern as the BM25
+# small-query driver path. Outputs are IDENTICAL to the distributed DAGs
+# (equality-tested in tests/test_dedup.py): same tokenizer, same xxh64,
+# same Carter-Wegman arithmetic, same band-hash strings, same bucket caps
+# and drop accounting, same rep-collapse star pairs, same exact-verify
+# jaccard / hamming values.
+# ---------------------------------------------------------------------------
+
+
+def _group_spans(keys: np.ndarray):
+    """Sorted-key group spans: returns (order, starts, ends) such that
+    keys[order[s:e]] is one equal-key group per (s, e)."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    starts = np.nonzero(np.concatenate(([True], sk[1:] != sk[:-1])))[0]
+    ends = np.append(starts[1:], sk.size)
+    return order, starts, ends
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64/uint64 array (numpy<2 has no
+    bitwise_count)."""
+    b = np.unpackbits(x.astype(np.uint64, copy=False).view(np.uint8)
+                      .reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def _rep_collapse(kept_ids: np.ndarray, keys) -> tuple:
+    """Min-id representative per equal key (vectorized: min.reduceat over
+    the sorted groups; star members = rows whose id isn't their group
+    min). Returns (is_rep bool mask, star list[(rep, member)],
+    n_groups_with_extras, n_extra_docs)."""
+    order, starts, ends = _group_spans(np.asarray(keys))
+    gmins = np.minimum.reduceat(kept_ids[order], starts)
+    rep_of = np.empty(kept_ids.size, dtype=np.int64)
+    rep_of[order] = np.repeat(gmins, ends - starts)
+    member = kept_ids != rep_of
+    star = list(zip(rep_of[member].tolist(), kept_ids[member].tolist()))
+    n_groups = int(np.count_nonzero(ends - starts > 1))
+    return ~member, star, n_groups, len(star)
+
+
+def minhash_pairs_local(ids: np.ndarray, texts, *, a: np.ndarray,
+                        b: np.ndarray, bands: int, shingle_n: int,
+                        max_bucket: int,
+                        jaccard_threshold: float | None,
+                        perm_block: int = 16) -> dict:
+    """Driver-side MinHash-LSH near-dup pairs over a collected corpus.
+    Value-identical to the distributed ``minhash_lsh_pairs`` DAG.
+
+    Returns {"pairs": [(doc_a, doc_b[, jaccard])...],
+             "metrics": {dropped_buckets, dropped_doc_entries,
+                         max_dropped_size, identical_content_groups,
+                         identical_content_extra_docs}}."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    num_hashes = int(a.size)
+    rows_per_band = num_hashes // bands
+    flat, pnp, counts = _tokens_flat(texts)
+    keep = np.nonzero(counts > 0)[0]
+    metrics = {"dropped_buckets": 0, "dropped_doc_entries": 0,
+               "max_dropped_size": 0, "identical_content_groups": 0,
+               "identical_content_extra_docs": 0}
+    if keep.size == 0:
+        return {"pairs": [], "metrics": metrics}
+    kept_ids = ids[keep]
+    texts_py = texts.to_pylist()
+    sha = [hashlib.sha256((texts_py[r] or "").encode("utf-8")).hexdigest()
+           for r in keep]
+    is_rep, star, n_groups, n_extra = _rep_collapse(
+        kept_ids, np.asarray(sha, dtype=object))
+    metrics["identical_content_groups"] = n_groups
+    metrics["identical_content_extra_docs"] = n_extra
+
+    # signatures for every kept doc (same arithmetic as the mapInArrow
+    # kernel; rows line up with `keep` order)
+    h, par = _shingle_hashes(flat, pnp, counts, shingle_n)
+    sig_starts = np.nonzero(np.concatenate(
+        ([True], par[1:] != par[:-1])))[0]
+    sig = _minhash_sig_matrix(h, sig_starts, a.astype(np.int64),
+                              b.astype(np.int64), perm_block)
+
+    rep_rows = np.nonzero(is_rep)[0]
+    sig_r = sig[rep_rows]
+    rep_ids = kept_ids[rep_rows]
+    cand: set = set()
+    for band_i in range(bands):
+        cols = [pc.cast(pa.array(sig_r[:, band_i * rows_per_band + r]),
+                        pa.string())
+                for r in range(rows_per_band)]
+        joined = (pc.binary_join_element_wise(*cols, ",")
+                  if len(cols) > 1 else cols[0])
+        bh = xxh64_arrow(joined)
+        order, starts, ends = _group_spans(bh)
+        # vectorized group selection: almost every bucket is a singleton,
+        # so iterate only the (few) multi-member ones
+        bsizes = ends - starts
+        for gi in np.nonzero(bsizes > 1)[0]:
+            s, e = starts[gi], ends[gi]
+            sz = e - s
+            if sz > max_bucket:
+                metrics["dropped_buckets"] += 1
+                metrics["dropped_doc_entries"] += int(sz)
+                metrics["max_dropped_size"] = max(
+                    metrics["max_dropped_size"], int(sz))
+                continue
+            members = np.sort(rep_ids[order[s:e]])
+            ix, jx = np.triu_indices(sz, 1)
+            cand.update(zip(members[ix].tolist(), members[jx].tolist()))
+
+    if jaccard_threshold is None:
+        pairs = list(cand)
+        pairs.extend(star)
+        return {"pairs": pairs, "metrics": metrics}
+
+    # exact-verify candidates on DISTINCT shingle STRING sets (the hashes
+    # above are mod-P and could collide; the distributed verify uses
+    # shingles_expr strings, so the driver path must too)
+    tok_starts = np.concatenate(([0], np.cumsum(counts)))
+    row_of_id = {int(kept_ids[i]): int(keep[i])
+                 for i in range(keep.size)}
+    sh_cache: dict = {}
+
+    def shingle_set(doc_id: int) -> set:
+        got = sh_cache.get(doc_id)
+        if got is None:
+            r = row_of_id[doc_id]
+            toks = flat.slice(tok_starts[r], counts[r]).to_pylist()
+            if len(toks) < shingle_n:
+                got = {" ".join(toks)}
+            else:
+                got = {" ".join(toks[i:i + shingle_n])
+                       for i in range(len(toks) - shingle_n + 1)}
+            sh_cache[doc_id] = got
+        return got
+
+    pairs = []
+    for (x, y) in cand:
+        sx = shingle_set(x)
+        sy = shingle_set(y)
+        j = len(sx & sy) / len(sx | sy)
+        if j >= jaccard_threshold:
+            pairs.append((x, y, j))
+    pairs.extend((ra, rb, 1.0) for ra, rb in star)
+    return {"pairs": pairs, "metrics": metrics}
+
+
+def simhash_pairs_local(ids: np.ndarray, texts, *, max_hamming: int,
+                        chunks: int, max_bucket: int,
+                        bits: int = 64, bit_block: int = 16) -> dict:
+    """Driver-side SimHash near-dup pairs over a collected corpus.
+    Value-identical to the distributed ``simhash_near_pairs`` DAG (default
+    xxhash64 engine).
+
+    Returns {"pairs": [(doc_a, doc_b, hamming)...],
+             "metrics": {dropped_buckets, dropped_doc_entries,
+                         max_dropped_size, identical_fp_groups,
+                         identical_fp_extra_docs}}."""
+    import itertools
+
+    k = max_hamming
+    flat, pnp, counts = _tokens_flat(texts)
+    keep = np.nonzero(counts > 0)[0]
+    metrics = {"dropped_buckets": 0, "dropped_doc_entries": 0,
+               "max_dropped_size": 0, "identical_fp_groups": 0,
+               "identical_fp_extra_docs": 0}
+    if keep.size == 0:
+        return {"pairs": [], "metrics": metrics}
+    kept_ids = ids[keep]
+
+    # fingerprints: same bit-vote arithmetic as simhash_batches
+    h = xxh64_arrow(flat).view(np.uint64)
+    starts = np.nonzero(np.concatenate(([True], pnp[1:] != pnp[:-1])))[0]
+    n_occ = counts[keep].astype(np.uint64)
+    fp = _simhash_fingerprints(h, starts, n_occ, bits, bit_block)
+
+    is_rep, star, n_groups, n_extra = _rep_collapse(
+        kept_ids, fp.view(np.int64))
+    metrics["identical_fp_groups"] = n_groups
+    metrics["identical_fp_extra_docs"] = n_extra
+    zero_pairs = [(ra, rb, 0) for ra, rb in star]
+
+    rep_rows = np.nonzero(is_rep)[0]
+    rep_ids = kept_ids[rep_rows]
+    u = fp[rep_rows]
+
+    sizes = [bits // chunks + (1 if i < bits % chunks else 0)
+             for i in range(chunks)]
+    offs = [sum(sizes[:i]) for i in range(chunks)]
+    cand: dict = {}
+    for combo in itertools.combinations(range(chunks), chunks - k):
+        cv = np.zeros(u.size, dtype=np.uint64)
+        shift = 0
+        for c in combo:
+            cv |= (((u >> np.uint64(offs[c]))
+                    & np.uint64((1 << sizes[c]) - 1))
+                   << np.uint64(shift))
+            shift += sizes[c]
+        order, gstarts, gends = _group_spans(cv.view(np.int64))
+        bsizes = gends - gstarts
+        for gi in np.nonzero(bsizes > 1)[0]:
+            s, e = gstarts[gi], gends[gi]
+            sz = e - s
+            if sz > max_bucket:
+                metrics["dropped_buckets"] += 1
+                metrics["dropped_doc_entries"] += int(sz)
+                metrics["max_dropped_size"] = max(
+                    metrics["max_dropped_size"], int(sz))
+                continue
+            rows = order[s:e]
+            srt = np.argsort(rep_ids[rows], kind="stable")
+            rows = rows[srt]
+            bids = rep_ids[rows]
+            bfp = u[rows]
+            # all a<b pairs at once; hamming-filter BEFORE the python
+            # dict so per-pair python cost is paid only by survivors
+            ix, jx = np.triu_indices(sz, 1)
+            ham = _popcount64(bfp[ix] ^ bfp[jx])
+            ok = ham <= k
+            cand.update(zip(
+                zip(bids[ix[ok]].tolist(), bids[jx[ok]].tolist()),
+                ham[ok].tolist()))
+
+    pairs = [(x, y, hm) for (x, y), hm in cand.items()]
+    pairs.extend(zero_pairs)
+    return {"pairs": pairs, "metrics": metrics}

@@ -163,11 +163,13 @@ def test_minhash_identical_cluster_collapses(spark):
     assert sorted(r["doc_b"] for r in rows) == list(range(1, 8))
 
 
-def test_minhash_identical_cluster_bounded_output(spark):
+def test_minhash_identical_cluster_bounded_output(spark, monkeypatch):
     """r4 verdict #1/#2: a 10^4-doc byte-identical cluster must complete
     with O(m) output and a BOUNDED bucket agg buffer (banding sees one
     representative; the capped collect_list never materializes a
     mega-array)."""
+    from harvester_spark.operators import dedup as dd
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 0)  # distributed path
     same = "the same boilerplate payload repeated in every doc"
     rows = [(i, same) for i in range(10_000)]
     rows += [(20_000, "completely different content here xyz")]
@@ -225,10 +227,12 @@ def test_simhash_manku_blocking_recall(spark):
     assert metrics.collect()[0]["dropped_buckets"] == 0
 
 
-def test_simhash_identical_cluster_bounded_output(spark):
+def test_simhash_identical_cluster_bounded_output(spark, monkeypatch):
     """VERDICT r2: a 10^4-doc identical-fingerprint cluster must complete
     with O(m) output (star pairs via rep-collapse), not O(m²) through the
     bucket explode — and the collapse must be reported in metrics."""
+    from harvester_spark.operators import dedup as dd
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 0)  # distributed path
     same = "import numpy def main return value data result"
     rows = [(i, same) for i in range(10_000)]
     rows += [(20_000, "completely different content here xyz")]
@@ -262,10 +266,13 @@ def test_simhash_components_preserved_under_collapse(spark):
     # (1, 2) need not appear — component {0,1,2} is already connected
 
 
-def test_lsh_metrics_do_not_recompute_banding(spark):
+def test_lsh_metrics_do_not_recompute_banding(spark, monkeypatch):
     """VERDICT r2: with_metrics=True must cache the bucket table so that
     consuming pairs AND metrics runs shingling+banding once (the pairs
-    plan reads the cache)."""
+    plan reads the cache). Distributed-path property (the driver fast
+    path has no bucket table to cache)."""
+    from harvester_spark.operators import dedup as dd
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 0)
     same = "import numpy def main return value data result"
     docs = spark.createDataFrame([(i, same) for i in range(8)],
                                  "doc_id long, content string")
@@ -358,12 +365,16 @@ def test_simhash_chunk_plan_scales():
     assert comb(huge, 3) <= 64   # table count stays bounded
 
 
-def test_bucket_drop_warning_fires_without_metrics(spark):
+def test_bucket_drop_warning_fires_without_metrics(spark, monkeypatch):
     """with_metrics=False must still surface max_bucket drops (r3 ADVICE:
     silent recall regression) — the daemon watcher warns after the first
     action over the candidate plan."""
     import time
     import warnings
+
+    from harvester_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 0)  # watcher path
 
     docs = spark.createDataFrame(
         [(i, f"the same boilerplate text repeated everywhere tok{i}")
@@ -393,6 +404,7 @@ def test_abandoned_plan_releases_watcher(spark, monkeypatch):
     from harvester_spark.operators import dedup as dd
 
     monkeypatch.setattr(dd, "_WATCH_TIMEOUT_S", 2.0)
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 0)  # watcher path
     before = {id(t) for t in threading.enumerate()}
     docs = spark.createDataFrame([(i, f"words tok{i}") for i in range(5)],
                                  "doc_id long, content string")
@@ -515,3 +527,136 @@ def test_simhash_kernel_matches_jvm(spark):
     jvm = {r["doc_id"]: r["simhash"] for r in jvm_fp.collect()}
     ker = {r["doc_id"]: r["simhash"] for r in ker_fp.collect()}
     assert ker == jvm
+
+
+# --- r6: driver small-corpus fast path must equal the distributed DAG ---
+
+def _fastpath_docs(spark):
+    """Edge-case corpus: exact-dup groups, near dups, zero-token docs,
+    nulls, short docs, unicode, shuffled token multisets."""
+    base = "import numpy as np def main return value data result for index"
+    rows = [(0, base), (1, base), (2, base),                  # dup group
+            (3, base + " extra_token_x"),                     # near dup
+            (4, base.replace("numpy", "pandas")),             # near dup
+            (5, "completely different words about streaming watermark"),
+            (6, ""), (7, None), (8, "   !!! ??? "),           # zero-token
+            (9, "one"), (10, "two words"),                    # short docs
+            (11, "unicode tökens 中文 here stay séparate"),
+            (12, "unicode tökens 中文 here stay séparate"),   # dup of 11
+            (13, "alpha beta gamma delta epsilon zeta eta theta"),
+            (14, "theta eta zeta epsilon delta gamma beta alpha")]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def _rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(jaccard_threshold=0.5, with_metrics=True),
+    dict(jaccard_threshold=None, with_metrics=True),
+    dict(jaccard_threshold=0.3, with_metrics=True, max_bucket=1),
+    dict(jaccard_threshold=0.5, with_metrics=False, shingle_n=2),
+])
+def test_minhash_driver_path_equals_distributed(spark, monkeypatch, kwargs):
+    """The small-corpus driver path must produce EXACTLY the rows (incl.
+    float-identical jaccard) and metrics of the distributed DAG."""
+    from harvester_spark.operators import dedup as dd
+
+    docs = _fastpath_docs(spark)
+    got = dd.minhash_lsh_pairs(docs, **kwargs)          # driver path
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 0)
+    want = dd.minhash_lsh_pairs(docs, **kwargs)         # distributed
+    if kwargs.get("with_metrics"):
+        got, gm = got
+        want, wm = want
+        assert gm.columns == wm.columns
+        assert _rows_set(gm) == _rows_set(wm)
+    assert got.columns == want.columns
+    assert _rows_set(got) == _rows_set(want)
+    assert len(_rows_set(got)) > 0 or kwargs.get("max_bucket") == 1
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(max_hamming=3, with_metrics=True),
+    dict(max_hamming=6, chunks=8, with_metrics=True),
+    dict(max_hamming=3, with_metrics=True, max_bucket=1),
+    dict(max_hamming=16, chunks=17, with_metrics=False),
+])
+def test_simhash_driver_path_equals_distributed(spark, monkeypatch, kwargs):
+    from harvester_spark.operators import dedup as dd
+
+    docs = _fastpath_docs(spark)
+    got = dd.simhash_near_pairs(docs, **kwargs)         # driver path
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 0)
+    want = dd.simhash_near_pairs(docs, **kwargs)        # distributed
+    if kwargs.get("with_metrics"):
+        got, gm = got
+        want, wm = want
+        assert gm.columns == wm.columns
+        assert _rows_set(gm) == _rows_set(wm)
+    assert got.columns == want.columns
+    assert _rows_set(got) == _rows_set(want)
+
+
+def test_driver_path_warns_on_drops(spark):
+    """The driver fast path must keep the never-silent-drops contract."""
+    import warnings
+
+    docs = _permuted_docs(spark, 30)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        minhash_lsh_pairs(docs, max_bucket=4, shingle_n=1).count()
+    assert any("minhash_lsh_pairs: max_bucket=4 dropped" in str(x.message)
+               for x in rec if issubclass(x.category, RuntimeWarning))
+
+
+def test_driver_path_respects_byte_budget(spark, monkeypatch):
+    """Corpora over the byte budget must fall back to the distributed
+    path (the probe job reads at most cap+1 rows first)."""
+    from harvester_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_BYTES", 10)
+    docs = _fastpath_docs(spark)
+    small = dd._collect_small_docs(docs, "content", "doc_id")
+    assert small is None
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_DOCS", 5)
+    monkeypatch.setattr(dd, "_DRIVER_PAIRS_MAX_BYTES", 1 << 30)
+    assert dd._collect_small_docs(docs, "content", "doc_id") is None
+
+
+def test_unique_table_kernels_match_direct_form():
+    """r6: the adaptive unique-value table paths of _minhash_sig_matrix /
+    _simhash_fingerprints must be bit-identical to the direct per-element
+    arithmetic (int32/int16 narrowing is exact: values < 2^31 / counts)."""
+    from harvester_spark.operators.dedup_kernels import (
+        MERSENNE_P, _minhash_sig_matrix, _simhash_fingerprints)
+    from harvester_spark.operators.dedup import _perm_params
+
+    rng = np.random.default_rng(3)
+    # few uniques over many rows → table path triggers (uq <= N/4)
+    uq_pool = rng.integers(0, MERSENNE_P, size=200, dtype=np.int64)
+    h = uq_pool[rng.integers(0, 200, size=20_000)]
+    starts = np.sort(rng.choice(np.arange(1, 20_000), 999, replace=False))
+    starts = np.concatenate(([0], starts))
+    a, b = _perm_params(64, 42)
+    a = np.asarray(a); b = np.asarray(b)
+    got = _minhash_sig_matrix(h, starts, a, b)
+    want = np.empty_like(got)
+    for i in range(64):
+        v = (h * a[i] + b[i]) % MERSENNE_P
+        want[:, i] = np.minimum.reduceat(v, starts)
+    assert np.array_equal(got, want)
+
+    hu = rng.integers(0, 1 << 64, size=20_000, dtype=np.uint64)
+    hu = np.sort(hu)[rng.integers(0, 150, size=20_000)]  # few uniques
+    n_occ = np.diff(np.append(starts, 20_000)).astype(np.uint64)
+    got_fp = _simhash_fingerprints(hu, starts, n_occ)
+    want_fp = np.zeros(starts.size, dtype=np.uint64)
+    for bit in range(64):
+        ones = np.add.reduceat(
+            ((hu >> np.uint64(bit)) & np.uint64(1)).astype(np.int64),
+            starts).astype(np.uint64)
+        want_fp |= np.where(ones * np.uint64(2) > n_occ,
+                            np.uint64(1) << np.uint64(bit), np.uint64(0))
+    assert np.array_equal(got_fp, want_fp)
