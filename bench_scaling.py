@@ -28,6 +28,11 @@ REPO = Path(__file__).resolve().parent
 CORPUS_DIR = REPO / ".bench" / "corpus"
 N_DOCS = int(os.environ.get("BENCH_DOCS", "300000"))
 AVG_LEN = int(os.environ.get("BENCH_AVG_LEN", "300"))
+# 0 = generator default (N_DOCS // 2). Set >262144 to push the term
+# dictionary past the dictseg crossover so the timed build exercises the
+# DISTRIBUTED range-part writer (write_dict_segment_spark) instead of the
+# zero-job pyarrow path (r5 VERDICT #4).
+N_IDENTS = int(os.environ.get("BENCH_IDENTS", "0")) or None
 # fixed across parallelism levels: "same job, same input, more executors"
 SHUFFLE_PARTITIONS = 64
 
@@ -39,15 +44,17 @@ def ensure_corpus() -> None:
     from harvester_spark.session import get_spark
 
     if tables.is_committed(CORPUS_DIR):
-        if tables.read_meta(CORPUS_DIR).get("n_docs") == N_DOCS:
+        meta = tables.read_meta(CORPUS_DIR)
+        if (meta.get("n_docs") == N_DOCS
+                and meta.get("n_idents") == N_IDENTS):
             return
     spark = get_spark("gen-corpus", cores=os.cpu_count())
     docs = make_corpus_spark(spark, N_DOCS, num_partitions=64,
-                             avg_len=AVG_LEN)
+                             avg_len=AVG_LEN, n_idents=N_IDENTS)
     docs = assign_doc_ids(docs, num_partitions=64)
     tables.write_table(docs, CORPUS_DIR,
                        meta={"n_docs": N_DOCS, "seed": 42,
-                             "avg_len": AVG_LEN})
+                             "avg_len": AVG_LEN, "n_idents": N_IDENTS})
     spark.stop()
 
 

@@ -77,16 +77,20 @@ def make_corpus(n_docs: int, seed: int = 42, n_idents: int | None = None,
 
 def make_corpus_spark(spark, n_docs: int, seed: int = 42,
                       num_partitions: int | None = None,
-                      avg_len: int = 120):
+                      avg_len: int = 120, n_idents: int | None = None):
     """Distributed generation: identical rows to :func:`make_corpus`, built
-    in parallel via mapInPandas over a doc-index range."""
+    in parallel via mapInPandas over a doc-index range. ``n_idents``
+    widens the rare-identifier vocabulary (default n_docs // 2) — used by
+    the scaling harness to push the term dictionary past the dictseg
+    distributed-writer crossover."""
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches):
         for pdf in batches:
             if len(pdf):
                 yield gen_rows(pdf["id"].to_numpy(), n_docs=n_docs,
-                               seed=seed, avg_len=avg_len)
+                               seed=seed, avg_len=avg_len,
+                               n_idents=n_idents)
 
     rng_df = spark.range(0, n_docs, 1, num_partitions)
     return rng_df.mapInPandas(

@@ -58,19 +58,22 @@ def _collect_small_docs(docs: DataFrame, content_col: str, id_col: str):
     cap = _DRIVER_PAIRS_MAX_DOCS
     if cap <= 0:
         return None
-    probe = (docs.limit(cap + 1)
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.coalesce(F.sum(F.octet_length(F.col(content_col))),
-                             F.lit(0)).alias("nb"))
-             .collect()[0])
-    if probe["n"] > cap or probe["nb"] > _DRIVER_PAIRS_MAX_BYTES:
+    # limit().collect() executes as an INCREMENTAL take (executeTake: one
+    # partition, then 4x more per round) — a 100 TB corpus finds its
+    # cap+1-th row after a handful of partitions and falls through; a
+    # limit().agg() form would instead run a LocalLimit task in EVERY
+    # partition. Only byte lengths travel, not content.
+    lens = (docs.select(F.coalesce(F.octet_length(F.col(content_col)),
+                                   F.lit(0)).alias("nb"))
+            .limit(cap + 1).collect())
+    if len(lens) > cap or sum(r["nb"] for r in lens) > _DRIVER_PAIRS_MAX_BYTES:
         return None
     tbl = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(content_col).alias("content")).toArrow()
     ids = tbl.column("doc_id").to_numpy(
         zero_copy_only=False).astype(np.int64)
     texts = tbl.column("content").combine_chunks()
-    return ids, texts, int(probe["n"])
+    return ids, texts, int(ids.size)
 
 
 def _pairs_drop_warning(metrics: dict, max_bucket: int, what: str) -> None:

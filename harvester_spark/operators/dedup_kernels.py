@@ -28,6 +28,15 @@ from harvester_spark.functions.xxh64 import xxh64_arrow
 
 MERSENNE_P = (1 << 31) - 1
 
+# thread count for the DRIVER-side pair kernels only (executor kernels
+# always run threads=1 — their sibling tasks own the cores); the heavy
+# ufuncs release the GIL so a small pool gets real parallelism
+import os as _os
+
+DRIVER_KERNEL_THREADS = int(_os.environ.get(
+    "SPARK_GRAFT_DEDUP_DRIVER_THREADS",
+    str(min(8, _os.cpu_count() or 1))))
+
 
 def _tokens_flat(content_arr):
     """Arrow string array → (flat tokens pa.Array, parent int64 ndarray,
@@ -109,8 +118,26 @@ def _shingle_hashes(flat, pnp: np.ndarray, counts: np.ndarray,
     return h, par[order]
 
 
+def _run_blocks(fn, total: int, block: int, threads: int) -> None:
+    """Run fn((i0, i1)) over consecutive [i0, i1) spans, optionally on a
+    small thread pool. The heavy ufuncs (multiply/mod/reduceat/gather)
+    release the GIL, so driver-side calls get real parallelism; executor
+    kernels keep threads=1 (their 32 sibling tasks already own the
+    cores). Blocks write disjoint output slices — deterministic under any
+    schedule."""
+    spans = [(i0, min(i0 + block, total)) for i0 in range(0, total, block)]
+    if threads > 1 and len(spans) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(threads, len(spans))) as ex:
+            list(ex.map(fn, spans))
+    else:
+        for s in spans:
+            fn(s)
+
+
 def _minhash_sig_matrix(h: np.ndarray, starts: np.ndarray, a: np.ndarray,
-                        b: np.ndarray, perm_block: int = 16) -> np.ndarray:
+                        b: np.ndarray, perm_block: int = 16,
+                        threads: int = 1) -> np.ndarray:
     """Per-doc minhash signature matrix (n_docs × num_hashes int64) from
     doc-grouped shingle hashes ``h`` (∈ [0, P)) with reduceat ``starts``.
 
@@ -126,42 +153,46 @@ def _minhash_sig_matrix(h: np.ndarray, starts: np.ndarray, a: np.ndarray,
     nd = starts.size
     sig = np.empty((nd, num_hashes), dtype=np.int64)
     uq, inv = np.unique(h, return_inverse=True)
-    if uq.size <= h.size // 4:
-        for i0 in range(0, num_hashes, perm_block):
-            i1 = min(i0 + perm_block, num_hashes)
+    use_table = uq.size <= h.size // 4
+
+    def run_block(span):
+        i0, i1 = span
+        if use_table:
             tbl = uq[:, None] * a[None, i0:i1]
             tbl += b[None, i0:i1]
             tbl %= MERSENNE_P
             vals = tbl.astype(np.int32)[inv]
-            sig[:, i0:i1] = np.minimum.reduceat(vals, starts, axis=0)
-        return sig
-    for i0 in range(0, num_hashes, perm_block):
-        i1 = min(i0 + perm_block, num_hashes)
-        # h < 2^31, a < 2^31 → products < 2^62: exact in int64; in-place
-        # add+mod — the matrix is memory-traffic-bound on this host
-        vals = h[:, None] * a[None, i0:i1]
-        vals += b[None, i0:i1]
-        vals %= MERSENNE_P
+        else:
+            # h < 2^31, a < 2^31 → products < 2^62: exact in int64;
+            # in-place add+mod — memory-traffic-bound on this host
+            vals = h[:, None] * a[None, i0:i1]
+            vals += b[None, i0:i1]
+            vals %= MERSENNE_P
         sig[:, i0:i1] = np.minimum.reduceat(vals, starts, axis=0)
+
+    _run_blocks(run_block, num_hashes, perm_block, threads)
     return sig
 
 
 def _simhash_fingerprints(h: np.ndarray, starts: np.ndarray,
                           n_occ: np.ndarray, bits: int = 64,
-                          bit_block: int = 16) -> np.ndarray:
+                          bit_block: int = 16,
+                          threads: int = 1) -> np.ndarray:
     """Per-doc simhash fingerprints (uint64) from doc-grouped token hashes
     ``h`` (uint64) with reduceat ``starts`` and per-doc occurrence counts
     ``n_occ``. Same adaptive unique-value table as the signature matrix:
     per-unique bit rows gathered as int16 (exact while every doc has
     < 32767 occurrences — checked) instead of shifting/masking every
-    occurrence × bit in int64."""
+    occurrence × bit in int64. Blocks OR into disjoint bit ranges of the
+    same fp vector via per-block partials — order-independent."""
     nd = starts.size
-    fp = np.zeros(nd, dtype=np.uint64)
     uq, inv = np.unique(h, return_inverse=True)
     use_table = (uq.size <= h.size // 4
                  and (n_occ.size == 0 or int(n_occ.max()) < 32000))
-    for i0 in range(0, bits, bit_block):
-        i1 = min(i0 + bit_block, bits)
+    partials: dict[int, np.ndarray] = {}
+
+    def run_block(span):
+        i0, i1 = span
         shifts = np.arange(i0, i1, dtype=np.uint64)
         if use_table:
             tbl = ((uq[:, None] >> shifts[None, :])
@@ -173,8 +204,13 @@ def _simhash_fingerprints(h: np.ndarray, starts: np.ndarray,
         ones = np.add.reduceat(bitsm, starts, axis=0).astype(np.uint64)
         set_mask = (ones * np.uint64(2)) > n_occ[:, None]
         weights = (np.uint64(1) << shifts)[None, :]
-        fp |= np.bitwise_or.reduce(
+        partials[i0] = np.bitwise_or.reduce(
             np.where(set_mask, weights, np.uint64(0)), axis=1)
+
+    _run_blocks(run_block, bits, bit_block, threads)
+    fp = np.zeros(nd, dtype=np.uint64)
+    for p in partials.values():
+        fp |= p
     return fp
 
 
@@ -325,7 +361,7 @@ def minhash_pairs_local(ids: np.ndarray, texts, *, a: np.ndarray,
     sha = [hashlib.sha256((texts_py[r] or "").encode("utf-8")).hexdigest()
            for r in keep]
     is_rep, star, n_groups, n_extra = _rep_collapse(
-        kept_ids, np.asarray(sha, dtype=object))
+        kept_ids, np.asarray(sha, dtype="S64"))  # fixed-width: C-speed sort
     metrics["identical_content_groups"] = n_groups
     metrics["identical_content_extra_docs"] = n_extra
 
@@ -335,7 +371,8 @@ def minhash_pairs_local(ids: np.ndarray, texts, *, a: np.ndarray,
     sig_starts = np.nonzero(np.concatenate(
         ([True], par[1:] != par[:-1])))[0]
     sig = _minhash_sig_matrix(h, sig_starts, a.astype(np.int64),
-                              b.astype(np.int64), perm_block)
+                              b.astype(np.int64), perm_block,
+                              threads=DRIVER_KERNEL_THREADS)
 
     rep_rows = np.nonzero(is_rep)[0]
     sig_r = sig[rep_rows]
@@ -429,7 +466,8 @@ def simhash_pairs_local(ids: np.ndarray, texts, *, max_hamming: int,
     h = xxh64_arrow(flat).view(np.uint64)
     starts = np.nonzero(np.concatenate(([True], pnp[1:] != pnp[:-1])))[0]
     n_occ = counts[keep].astype(np.uint64)
-    fp = _simhash_fingerprints(h, starts, n_occ, bits, bit_block)
+    fp = _simhash_fingerprints(h, starts, n_occ, bits, bit_block,
+                               threads=DRIVER_KERNEL_THREADS)
 
     is_rep, star, n_groups, n_extra = _rep_collapse(
         kept_ids, fp.view(np.int64))
