@@ -72,7 +72,10 @@ def _collect_small_docs(docs: DataFrame, content_col: str, id_col: str):
                       F.col(content_col).alias("content")).toArrow()
     ids = tbl.column("doc_id").to_numpy(
         zero_copy_only=False).astype(np.int64)
-    texts = tbl.column("content").combine_chunks()
+    # keep the column CHUNKED (one chunk per collected batch): pyarrow
+    # compute parallelizes across chunks, so the driver-path tokenizer
+    # runs on the raised thread pool instead of one core
+    texts = tbl.column("content")
     return ids, texts, int(ids.size)
 
 
@@ -576,14 +579,17 @@ def _minhash_pairs_driver(spark, small, *, num_hashes: int, bands: int,
                           with_metrics: bool):
     """Driver-side evaluation of minhash_lsh_pairs for small corpora —
     same pairs, same metrics, two jobs (kernels in dedup_kernels.py)."""
-    from harvester_spark.operators.dedup_kernels import minhash_pairs_local
+    from harvester_spark.operators.dedup_kernels import (_driver_pa_pool,
+                                                          minhash_pairs_local)
 
     ids, texts, _n = small
     a, b = _perm_params(num_hashes, seed)
-    res = minhash_pairs_local(
-        ids, texts, a=np.asarray(a, dtype=np.int64),
-        b=np.asarray(b, dtype=np.int64), bands=bands, shingle_n=shingle_n,
-        max_bucket=max_bucket, jaccard_threshold=jaccard_threshold)
+    with _driver_pa_pool():
+        res = minhash_pairs_local(
+            ids, texts, a=np.asarray(a, dtype=np.int64),
+            b=np.asarray(b, dtype=np.int64), bands=bands,
+            shingle_n=shingle_n, max_bucket=max_bucket,
+            jaccard_threshold=jaccard_threshold)
     schema = ("doc_a long, doc_b long"
               + (", jaccard double" if jaccard_threshold is not None
                  else ""))
@@ -600,11 +606,13 @@ def _simhash_pairs_driver(spark, small, *, max_hamming: int, chunks: int,
                           max_bucket: int, with_metrics: bool):
     """Driver-side evaluation of simhash_near_pairs (default xxhash64
     engine) — same pairs, same metrics, two jobs."""
-    from harvester_spark.operators.dedup_kernels import simhash_pairs_local
+    from harvester_spark.operators.dedup_kernels import (_driver_pa_pool,
+                                                          simhash_pairs_local)
 
     ids, texts, _n = small
-    res = simhash_pairs_local(ids, texts, max_hamming=max_hamming,
-                              chunks=chunks, max_bucket=max_bucket)
+    with _driver_pa_pool():
+        res = simhash_pairs_local(ids, texts, max_hamming=max_hamming,
+                                  chunks=chunks, max_bucket=max_bucket)
     pairs = _pairs_df(spark, res["pairs"],
                       "doc_a long, doc_b long, hamming int")
     if with_metrics:

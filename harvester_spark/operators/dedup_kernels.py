@@ -38,6 +38,29 @@ DRIVER_KERNEL_THREADS = int(_os.environ.get(
     str(min(8, _os.cpu_count() or 1))))
 
 
+def _driver_pa_pool():
+    """Context manager raising pyarrow's thread pool for the driver-side
+    pair kernels. session.py pins OMP_NUM_THREADS=1 before pyarrow
+    initializes (right for executor workers, which share cores with 32
+    sibling tasks), but the driver fast path runs while NO Spark job is
+    active — its tokenize/join/cast kernels may use the idle cores. The
+    pool is restored on exit so nothing else inherits it."""
+    import contextlib
+
+    import pyarrow as pa
+
+    @contextlib.contextmanager
+    def cm():
+        prev = pa.cpu_count()
+        try:
+            pa.set_cpu_count(max(prev, DRIVER_KERNEL_THREADS))
+            yield
+        finally:
+            pa.set_cpu_count(prev)
+
+    return cm()
+
+
 def _tokens_flat(content_arr):
     """Arrow string array → (flat tokens pa.Array, parent int64 ndarray,
     counts per row int64 ndarray). Same tokenizer as the index-build pack
